@@ -1,0 +1,2 @@
+from dfq_tpu.calib.distill import DistillConfig, distill_data  # noqa: F401
+from dfq_tpu.calib.calibrate import calibrate_ranges  # noqa: F401

@@ -1,0 +1,173 @@
+"""ZeroQ-style distilled-data synthesis — a fully jitted optimization.
+
+Behavioral contract: reference ``getDistilData``
+(``/root/reference/ZeroQ/distill_data.py:75-227``):
+
+- seed batches uniform: ``((randint(0,255) - 127)/128) * max_value``
+  (``ZeroQ/utils/data_utils.py:40-44``),
+- loss = sum over BN layers of ``|mu_BN - mu_batch|^2/C +
+  |sigma_BN - sigma_batch|^2/C`` (per-sample statistics of the BN input)
+  plus the input-image statistics loss against N(0,1) normalized by batch
+  size (``:183-204``),
+- Adam lr 0.1 with ReduceLROnPlateau (patience 100, factor 0.1,
+  min_lr 1e-7) (``:159-163``),
+- input clamped to ``value_range`` inside the forward (``:177``),
+- early break when ``loss <= (num_BN + 1) * early_break_factor``
+  (``:214-216``).
+
+The reference runs this as a Python loop of torch forward/backwards with
+hooks; here the entire per-batch optimization is ONE ``lax.while_loop``
+inside ``jax.jit`` — hooks are replaced by the executor's functional
+``capture="bn_inputs"`` mode, and the whole synthesis runs on-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dfq_tpu.graph.executor import execute
+from dfq_tpu.graph.ir import Graph
+
+
+@dataclasses.dataclass
+class DistillConfig:
+    batch_size: int = 64
+    num_batch: int = 8
+    image_size: Tuple[int, int] = (224, 224)
+    value_range: Tuple[float, float] = (-2.11790393, 2.64)
+    max_value: float = 3.0
+    early_break_factor: float = 1.0
+    max_iters: int = 1000
+    lr: float = 0.1
+    plateau_patience: int = 100
+    plateau_factor: float = 0.1
+    min_lr: float = 1e-7
+
+
+def _bn_targets(graph: Graph, params) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Per-BN (mean, std) targets: raw statistics for unfolded BNs, the
+    retained ``stat_mean``/``stat_std`` for folded ones
+    (``distill_data.py:130-147``)."""
+    targets = {}
+    for node in graph:
+        if node.op != "bn":
+            continue
+        p = params[node.name]
+        if "stat_std" in p:
+            targets[node.name] = (
+                np.asarray(p["stat_mean"], np.float32),
+                np.asarray(p["stat_std"], np.float32),
+            )
+        else:
+            eps = 1e-6
+            targets[node.name] = (
+                np.asarray(p["mean"], np.float32),
+                np.sqrt(np.asarray(p["var"], np.float32) + eps),
+            )
+    return targets
+
+
+def init_random_batch(rng: np.random.Generator, cfg: DistillConfig) -> np.ndarray:
+    h, w = cfg.image_size
+    raw = rng.integers(0, 255, size=(cfg.batch_size, h, w, 3)).astype(np.float32)
+    return ((raw - 127.0) / 128.0) * cfg.max_value
+
+
+def make_loss_fn(graph: Graph, params, cfg: DistillConfig):
+    targets = _bn_targets(graph, params)
+
+    def loss_fn(x):
+        xc = jnp.clip(x, cfg.value_range[0], cfg.value_range[1])
+        _, aux = execute(graph, params, xc, capture="bn_inputs")
+        loss = 0.0
+        for name, (mu_t, sd_t) in targets.items():
+            mean_b, std_b = aux[name]  # [B, C] each
+            c = mu_t.shape[0]
+            loss = loss + jnp.sum((mean_b - mu_t) ** 2) / c
+            loss = loss + jnp.sum((std_b - sd_t) ** 2) / c
+        # input statistics vs N(0, 1), normalized by batch size
+        flat = x.reshape(x.shape[0], -1, 3)
+        n_el = flat.shape[1]
+        mu_x = jnp.mean(flat, axis=1)
+        var_x = jnp.var(flat, axis=1) * (n_el / (n_el - 1))
+        sd_x = jnp.sqrt(var_x)
+        b = x.shape[0]
+        loss = loss + jnp.sum(mu_x**2) / b + jnp.sum((sd_x - 1.0) ** 2) / b
+        return loss
+
+    return loss_fn, len(targets)
+
+
+def distill_batch_fn(graph: Graph, params, cfg: DistillConfig):
+    """Build the jitted per-batch synthesis: ``x0 -> (images, info)``.
+
+    The full Adam + plateau-scheduler + early-break loop is a single
+    ``lax.while_loop`` — compiled once, reused for every batch.
+    """
+    loss_fn, num_bn = make_loss_fn(graph, params, cfg)
+    value_and_grad = jax.value_and_grad(loss_fn)
+    threshold = (num_bn + 1) * cfg.early_break_factor
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+
+    def cond(state):
+        x, opt_state, it, best, bad, last = state
+        return jnp.logical_and(it < cfg.max_iters, last > threshold)
+
+    def body(state):
+        x, opt_state, it, best, bad, _ = state
+        loss, grad = value_and_grad(x)
+        updates, opt_state = opt.update(grad, opt_state, x)
+        x = optax.apply_updates(x, updates)
+        # ReduceLROnPlateau bookkeeping (rel threshold 1e-4, torch default)
+        improved = loss < best * (1.0 - 1e-4)
+        best = jnp.where(improved, loss, best)
+        bad = jnp.where(improved, 0, bad + 1)
+        lr = opt_state.hyperparams["learning_rate"]
+        reduce_now = bad > cfg.plateau_patience
+        new_lr = jnp.maximum(lr * cfg.plateau_factor, cfg.min_lr)
+        opt_state.hyperparams["learning_rate"] = jnp.where(reduce_now, new_lr, lr)
+        bad = jnp.where(reduce_now, 0, bad)
+        return (x, opt_state, it + 1, best, bad, loss)
+
+    @jax.jit
+    def run(x0):
+        opt_state = opt.init(x0)
+        state = (
+            x0,
+            opt_state,
+            jnp.array(0),
+            jnp.array(jnp.inf, jnp.float32),
+            jnp.array(0),
+            jnp.array(jnp.inf, jnp.float32),
+        )
+        x, _, it, best, _, last = jax.lax.while_loop(cond, body, state)
+        return jnp.clip(x, cfg.value_range[0], cfg.value_range[1]), it, last
+
+    return run
+
+
+def distill_data(
+    graph: Graph,
+    params,
+    cfg: Optional[DistillConfig] = None,
+    seed: int = 0,
+    verbose: bool = False,
+) -> List[np.ndarray]:
+    """Synthesize ``cfg.num_batch`` batches of calibration images."""
+    cfg = cfg or DistillConfig()
+    rng = np.random.default_rng(seed)
+    run = distill_batch_fn(graph, params, cfg)
+    batches = []
+    for i in range(cfg.num_batch):
+        x0 = jnp.asarray(init_random_batch(rng, cfg))
+        x, it, loss = run(x0)
+        if verbose:
+            print(f"batch {i + 1}/{cfg.num_batch}: iters={int(it)} loss={float(loss):.3f}")
+        batches.append(np.asarray(x))
+    return batches

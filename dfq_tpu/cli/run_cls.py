@@ -1,0 +1,172 @@
+"""Classification entry point — flag-compatible with the reference
+``main_cls.py`` (``/root/reference/main_cls.py:23-41``), extended with
+engine selection and artifact export.
+
+Examples::
+
+    python -m dfq_tpu.cli.run_cls --quantize --relu --equalize --correction
+    python -m dfq_tpu.cli.run_cls --quantize --relu --equalize \
+        --engine int8 --save-artifact out/mnv2_int8
+    python -m dfq_tpu.cli.run_cls --resnet --quantize --correction \
+        --checkpoint resnet18.pth --data-dir /data/imagenet/val
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def get_argument():
+    p = argparse.ArgumentParser()
+    # reference flags (main_cls.py:23-41)
+    p.add_argument("--quantize", action="store_true")
+    p.add_argument("--equalize", action="store_true")
+    p.add_argument("--distill_range", action="store_true")
+    p.add_argument("--correction", action="store_true")
+    p.add_argument("--absorption", action="store_true")
+    p.add_argument("--relu", action="store_true")
+    p.add_argument("--clip_weight", action="store_true")
+    p.add_argument("--resnet", action="store_true")
+    p.add_argument("--log", action="store_true")
+    p.add_argument("--bits_weight", type=int, default=8)
+    p.add_argument("--bits_activation", type=int, default=8)
+    p.add_argument("--bits_bias", type=int, default=8)
+    p.add_argument("--dis_batch_size", type=int, default=64)
+    p.add_argument("--dis_num_batch", type=int, default=8)
+    # framework extensions
+    p.add_argument("--engine", choices=["sim", "int8"], default="sim",
+                   help="fake-quant simulation or true-int8 execution")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="torch state_dict (.pth) to load")
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="ImageNet val directory (folder-per-class)")
+    p.add_argument("--limit", type=int, default=None,
+                   help="max val images")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--save-artifact", type=str, default=None)
+    p.add_argument("--signed", action="store_true",
+                   help="symmetric weight quant (Int8' regime)")
+    return p.parse_args()
+
+
+def build_model(args):
+    import torch
+
+    from dfq_tpu.models import (
+        init_params,
+        load_torch_state_dict,
+        mobilenet_v2,
+        resnet18,
+    )
+
+    graph = resnet18() if args.resnet else mobilenet_v2()
+    if args.checkpoint:
+        sd = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        params = load_torch_state_dict(graph, sd)
+    else:
+        print("WARNING: no --checkpoint given; using random weights")
+        params = init_params(graph, seed=0, bn_stats="random")
+    return graph, params
+
+
+def main():
+    args = get_argument()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dfq_tpu.graph.executor import execute
+    from dfq_tpu.pipeline import QuantConfig, prepare
+
+    graph, params = build_model(args)
+    cfg = QuantConfig(
+        quantize=args.quantize,
+        relu=args.relu,
+        equalize=args.equalize,
+        absorption=args.absorption,
+        correction=args.correction,
+        clip_weight=args.clip_weight,
+        distill_range=args.distill_range,
+        bits_weight=args.bits_weight,
+        bits_activation=args.bits_activation,
+        bits_bias=args.bits_bias,
+        signed=args.signed,
+    )
+    t0 = time.time()
+    prep = prepare(graph, params, cfg)
+
+    if args.distill_range and args.quantize:
+        from dfq_tpu.calib import DistillConfig, calibrate_ranges, distill_data
+
+        dcfg = DistillConfig(
+            batch_size=args.dis_batch_size,
+            num_batch=args.dis_num_batch,
+            early_break_factor=1.2 if args.resnet else 0.5,
+        )
+        batches = distill_data(prep.graph, prep.params_fp, dcfg, verbose=True)
+        prep.act_ranges = calibrate_ranges(prep.graph, prep.params, batches)
+
+    print(f"pipeline: {time.time() - t0:.1f}s")
+
+    if args.engine == "int8" and args.quantize:
+        from dfq_tpu.engine import execute_int8, lower_int8
+
+        model = lower_int8(prep)
+        fwd = jax.jit(lambda x: execute_int8(model, prep.params, x))
+        if args.save_artifact:
+            from dfq_tpu.io import save_artifact
+
+            residual = {
+                k: v for k, v in prep.params.items() if k not in model.layers
+            }
+            save_artifact(args.save_artifact, model, residual)
+            print(f"artifact saved to {args.save_artifact}")
+    else:
+        fwd = jax.jit(
+            lambda x: execute(
+                prep.graph,
+                prep.params,
+                x,
+                act_ranges=prep.act_ranges,
+                bits_act=cfg.bits_activation,
+            )
+        )
+
+    if args.data_dir:
+        from dfq_tpu.data import imagenet_batches
+
+        correct = total = 0
+        for imgs, labels in imagenet_batches(
+            args.data_dir, args.batch_size, limit=args.limit
+        ):
+            logits = np.asarray(fwd(jnp.asarray(imgs)))
+            correct += int((logits.argmax(-1) == labels).sum())
+            total += len(labels)
+        acc = correct / max(total, 1)
+        print(f"Acc: {acc}")
+    else:
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(0, 1, (8, 224, 224, 3)), jnp.float32
+        )
+        logits = np.asarray(fwd(x))
+        acc = None
+        print(f"smoke eval ok: logits shape {logits.shape}, "
+              f"finite={bool(np.isfinite(logits).all())}")
+
+    if args.log:
+        with open("cls_result.txt", "a+") as f:
+            f.write(json.dumps({
+                "resnet": args.resnet, "quant": args.quantize,
+                "relu": args.relu, "equalize": args.equalize,
+                "absorption": args.absorption, "correction": args.correction,
+                "clip": args.clip_weight, "distill_range": args.distill_range,
+                "engine": args.engine, "acc": acc,
+            }) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""True INT8 execution engine.
+
+The reference's only real-int8 path is exporting to ncnn and running its
+CPU kernels (``/root/reference/convert_ncnn.py``,
+``inference_cls.cpp``) — everything else is FP32 fake-quant simulation.
+Here int8 is executed natively on the TPU MXU:
+
+- conv/linear weights stored as int8 with per-output-channel symmetric
+  scales (the granularity ncnn uses for weights,
+  ``convert_ncnn.py:188-192``, and ZeroQ uses throughout),
+- activations quantized per-tensor asymmetric (zero-point) from the
+  data-free / distilled ranges,
+- convolutions run ``int8 x int8 -> int32`` (``preferred_element_type=
+  int32``) so the MXU's int8 path is used; the zero-point cross term is
+  folded via precomputed per-channel weight sums:
+  ``conv(x, w) = s_in*s_w * (conv(q, qw) - zp * colsum(qw))``,
+- dequant + bias + activation are f32 VPU epilogues XLA fuses into the
+  conv; non-conv ops (add/concat/pool/softmax) run in f32 with the same
+  site fake-quant as the simulation, preserving its accuracy contract.
+
+``lower_int8`` consumes a :class:`~dfq_tpu.pipeline.PreparedModel`
+(using its post-pass, pre-weight-quant ``params_fp``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from dfq_tpu.graph.executor import _bn, _interpolate, _pool
+from dfq_tpu.graph.ir import Graph, node_sites
+from dfq_tpu.pipeline import PreparedModel
+from dfq_tpu.quant.core import fake_quant
+
+
+@dataclasses.dataclass
+class Int8Layer:
+    qweight: np.ndarray  # int8, OIHW (conv) or [out, in] (linear)
+    w_scale: np.ndarray  # f32 [O] per-output-channel symmetric scale
+    bias: Optional[np.ndarray]  # f32 [O] (already on the bias-bit grid)
+    wsum: np.ndarray  # int32 [O] sum of qweight over (in, spatial)
+    in_scale: float
+    in_zp: int  # int8-domain zero point (range [-128, 127])
+
+
+@dataclasses.dataclass
+class Int8Model:
+    graph: Graph
+    layers: Dict[str, Int8Layer]
+    act_ranges: Dict[str, Tuple[float, float]]
+    bits_act: int = 8
+
+
+def _quantize_weight_per_channel(w: np.ndarray, bits: int = 8):
+    qmax = 2.0 ** (bits - 1) - 1.0
+    flat = np.abs(w.reshape(w.shape[0], -1))
+    amax = flat.max(axis=1)
+    scale = np.maximum(amax / qmax, 1e-12).astype(np.float32)
+    shape = (-1,) + (1,) * (w.ndim - 1)
+    q = np.clip(np.round(w / scale.reshape(shape)), -qmax - 1, qmax)
+    return q.astype(np.int8), scale
+
+
+def lower_int8(prepared: PreparedModel, bits_act: int = 8) -> Int8Model:
+    graph = prepared.graph
+    params = prepared.params_fp or prepared.params
+    layers: Dict[str, Int8Layer] = {}
+    for node in graph:
+        if node.op not in ("conv", "linear"):
+            continue
+        site = f"{node.name}:in0"
+        if site not in prepared.act_ranges:
+            continue  # unquantized layer stays f32
+        lo, hi = prepared.act_ranges[site]
+        qmax_a = 2.0**bits_act - 1.0
+        in_scale = max((hi - lo) / qmax_a, 1e-8)
+        # uint-domain zp snapped to the grid, shifted to int8 domain
+        zp_u = int(np.clip(np.round(-lo / in_scale), 0, qmax_a))
+        in_zp = zp_u - 128
+
+        p = params[node.name]
+        w = np.asarray(p["weight"], np.float32)
+        qw, w_scale = _quantize_weight_per_channel(w, bits=8)
+        wsum = qw.astype(np.int32).reshape(qw.shape[0], -1).sum(axis=1)
+        bias = p.get("bias")
+        layers[node.name] = Int8Layer(
+            qweight=qw,
+            w_scale=w_scale,
+            bias=None if bias is None else np.asarray(bias, np.float32),
+            wsum=wsum,
+            in_scale=float(in_scale),
+            in_zp=in_zp,
+        )
+    return Int8Model(
+        graph=graph,
+        layers=layers,
+        act_ranges=dict(prepared.act_ranges),
+        bits_act=bits_act,
+    )
+
+
+def _quantize_act(x, layer: Int8Layer):
+    """f32 -> int8 with the layer's input qparams."""
+    q = jnp.round(x / layer.in_scale) + (layer.in_zp + 128)
+    q = jnp.clip(q, 0.0, 255.0) - 128.0
+    return q.astype(jnp.int8)
+
+
+def _int8_conv(xq, node, qw_hwio, zp: int):
+    """int8 conv with correct zero-point padding: real 0 quantizes to
+    ``zp``, so spatial padding must inject ``zp`` (XLA pads 0) before the
+    ``acc - zp * colsum(w)`` fold is exact at the borders."""
+    ph, pw = node.attrs["padding"]
+    if (ph, pw) != (0, 0):
+        xq = jnp.pad(
+            xq,
+            ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+            constant_values=np.int8(zp),
+        )
+    return lax.conv_general_dilated(
+        xq,
+        qw_hwio,
+        window_strides=node.attrs["stride"],
+        padding=((0, 0), (0, 0)),
+        rhs_dilation=node.attrs["dilation"],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=node.attrs["groups"],
+        preferred_element_type=jnp.int32,
+    )
+
+
+def execute_int8(model: Int8Model, params_f32, x: jnp.ndarray):
+    """Run the int8 graph. ``params_f32`` supplies any layers that were
+    not lowered (plus BN identities). Jittable; close over ``model``."""
+    graph = model.graph
+    env: Dict[str, jnp.ndarray] = {}
+    act_ranges = model.act_ranges
+
+    def site_fq(node, i, val):
+        key = f"{node.name}:in{i}"
+        if key in act_ranges:
+            lo, hi = act_ranges[key]
+            val = fake_quant(val, lo, hi, bits=model.bits_act)
+        return val
+
+    input_names = graph.input_names()
+    env[input_names[0]] = x
+
+    for node in graph:
+        if node.op == "input":
+            continue
+        ins = [env[i] for i in node.inputs]
+        op = node.op
+        if op in ("conv", "linear") and node.name in model.layers:
+            layer = model.layers[node.name]
+            xq = _quantize_act(ins[0], layer)
+            if op == "conv":
+                qw = jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
+                acc = _int8_conv(xq, node, qw, layer.in_zp)
+            else:
+                acc = lax.dot_general(
+                    xq,
+                    jnp.asarray(layer.qweight).T,
+                    (((xq.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            # zero-point cross term: zp * colsum(qw)
+            acc = acc - layer.in_zp * jnp.asarray(layer.wsum, jnp.int32)
+            out = acc.astype(jnp.float32) * (layer.in_scale * layer.w_scale)
+            if layer.bias is not None:
+                out = out + layer.bias
+        elif op == "conv":
+            from dfq_tpu.graph.executor import _conv
+
+            out = _conv(site_fq(node, 0, ins[0]), node, params_f32[node.name])
+        elif op == "linear":
+            from dfq_tpu.graph.executor import _linear
+
+            out = _linear(site_fq(node, 0, ins[0]), node, params_f32[node.name])
+        elif op == "bn":
+            out = _bn(ins[0], node, params_f32[node.name])
+        elif op in ("identity", "dropout"):
+            out = ins[0]
+        elif op == "relu":
+            out = jax.nn.relu(ins[0])
+        elif op == "relu6":
+            out = jnp.clip(ins[0], 0.0, 6.0)
+        elif op == "add":
+            a = site_fq(node, 0, ins[0])
+            b = site_fq(node, 1, ins[1])
+            out = a + b
+        elif op == "concat":
+            vals = [site_fq(node, i, v) for i, v in enumerate(ins)]
+            out = jnp.concatenate(vals, axis=node.attrs.get("axis", -1))
+        elif op == "global_mean":
+            out = jnp.mean(site_fq(node, 0, ins[0]), axis=(1, 2))
+        elif op == "avgpool":
+            out = _pool(ins[0], node, "avg")
+        elif op == "maxpool":
+            out = _pool(ins[0], node, "max")
+        elif op == "pad":
+            t, b_, l, r = node.attrs["pads"]
+            out = jnp.pad(ins[0], ((0, 0), (t, b_), (l, r), (0, 0)))
+        elif op == "interpolate":
+            out = _interpolate(site_fq(node, 0, ins[0]), node)
+        elif op == "softmax":
+            out = jax.nn.softmax(site_fq(node, 0, ins[0]), axis=node.attrs.get("axis", -1))
+        elif op == "reshape":
+            v = ins[0]
+            out = v.reshape((v.shape[0],) + tuple(node.attrs["shape"]))
+        else:
+            raise NotImplementedError(f"int8 engine: op {op!r}")
+        env[node.name] = out
+
+    outs = tuple(env[o] for o in graph.outputs)
+    return outs[0] if len(outs) == 1 else outs
