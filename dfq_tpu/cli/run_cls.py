@@ -36,6 +36,9 @@ def get_argument():
     p.add_argument("--dis_batch_size", type=int, default=64)
     p.add_argument("--dis_num_batch", type=int, default=8)
     # framework extensions
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (e.g. cpu); the axon plugin "
+                        "overrides the JAX_PLATFORMS env var")
     p.add_argument("--engine", choices=["sim", "int8"], default="sim",
                    help="fake-quant simulation or true-int8 execution")
     p.add_argument("--checkpoint", type=str, default=None,
@@ -76,6 +79,9 @@ def build_model(args):
 def main():
     args = get_argument()
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 

@@ -86,7 +86,7 @@ def lower_int8(prepared: PreparedModel, bits_act: int = 8) -> Int8Model:
         p = params[node.name]
         w = np.asarray(p["weight"], np.float32)
         qw, w_scale = _quantize_weight_per_channel(w, bits=8)
-        wsum = qw.astype(np.int32).reshape(qw.shape[0], -1).sum(axis=1)
+        wsum = qw.astype(np.int32).reshape(qw.shape[0], -1).sum(axis=1).astype(np.int32)
         bias = p.get("bias")
         layers[node.name] = Int8Layer(
             qweight=qw,
@@ -199,6 +199,8 @@ def execute_int8(model: Int8Model, params_f32, x: jnp.ndarray):
             out = jnp.concatenate(vals, axis=node.attrs.get("axis", -1))
         elif op == "global_mean":
             out = jnp.mean(site_fq(node, 0, ins[0]), axis=(1, 2))
+        elif op == "global_pool":
+            out = jnp.mean(ins[0], axis=(1, 2), keepdims=True)
         elif op == "avgpool":
             out = _pool(ins[0], node, "avg")
         elif op == "maxpool":

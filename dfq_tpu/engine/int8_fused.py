@@ -1,0 +1,263 @@
+"""Fused int8-to-int8 execution: activations stay int8 between layers.
+
+The baseline engine (``int8.py``) dequantizes every conv output to f32
+and re-quantizes at the next conv's input — simple, bit-matches the
+simulator, but every inter-layer tensor crosses HBM at 4 bytes/elem.
+Here each conv's requantization to its consumer's input grid is fused
+into the conv epilogue, so inter-layer tensors are int8 (1 byte/elem):
+
+    q_out = clip(round((acc - zp_in*colsum) * (s_in*s_w/s_out)
+                       + relu/relu6 clamp + zp_out))
+
+- ReLU becomes a clamp at the output zero point; ReLU6 a clamp at
+  quant(6). Both exact w.r.t. quantize(act(f32)) because the activation
+  is monotone and the output grid is fixed.
+- Residual adds dequantize both int8 operands, add in f32, requantize —
+  an elementwise chain XLA fuses; tensors entering/leaving stay int8.
+- Ops without a quantized consumer (final logits, pools into
+  unquantized heads) emit f32.
+
+The int8 tensor carried on an edge uses the CONSUMER's site quantization
+params; multi-consumer outputs are produced once and rescaled per extra
+consumer (int8 -> int8, still 1 byte traffic).
+
+Numerical note: vs the baseline engine this applies one extra rounding
+(producer requant instead of exact f32 handoff) — the same relaxation
+every deployed int8 runtime (ncnn included) makes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from dfq_tpu.engine.int8 import Int8Model, _int8_conv
+from dfq_tpu.graph.ir import Graph
+
+
+@dataclasses.dataclass
+class QTensor:
+    q: jnp.ndarray  # int8
+    scale: float
+    zp: int  # int8-domain zero point
+
+    def dequant(self) -> jnp.ndarray:
+        return (self.q.astype(jnp.float32) - self.zp) * self.scale
+
+
+def _site_params(model: Int8Model, site: str) -> Optional[Tuple[float, int]]:
+    if site not in model.act_ranges:
+        return None
+    lo, hi = model.act_ranges[site]
+    qmax = 2.0**model.bits_act - 1.0
+    scale = max((hi - lo) / qmax, 1e-8)
+    zp_u = int(np.clip(np.round(-lo / scale), 0, qmax))
+    return scale, zp_u - 128
+
+
+def _quantize_f32(x, scale: float, zp: int) -> jnp.ndarray:
+    q = jnp.round(x / scale) + (zp + 128)
+    return (jnp.clip(q, 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+
+def _requant_i8(t: QTensor, scale: float, zp: int) -> jnp.ndarray:
+    if t.scale == scale and t.zp == zp:
+        return t.q
+    r = (t.q.astype(jnp.float32) - t.zp) * (t.scale / scale) + (zp + 128)
+    return (jnp.clip(jnp.round(r), 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+
+# ops through which an output grid propagates backward unchanged:
+# quantize-then-clamp equals clamp-then-quantize for monotone grid +
+# monotone op (relu/relu6/maxpool), and identity ops trivially
+_GRID_PASSTHROUGH = {"relu", "relu6", "bn", "identity", "dropout", "maxpool"}
+
+
+def _consumer_plan(
+    graph: Graph, model: Int8Model
+) -> Dict[str, Optional[Tuple[float, int]]]:
+    """For each node, the int8 params its output should carry: the params
+    of the first quantized consumer site reachable through grid-
+    passthrough ops (None -> keep f32). Computed with one reverse
+    topological sweep."""
+    plan: Dict[str, Optional[Tuple[float, int]]] = {}
+    for node in reversed(list(graph)):
+        for idx, inp in enumerate(node.inputs):
+            sp: Optional[Tuple[float, int]] = None
+            if node.name in model.layers and idx == 0:
+                layer = model.layers[node.name]
+                sp = (layer.in_scale, layer.in_zp)
+            else:
+                sp = _site_params(model, f"{node.name}:in{idx}")
+            if sp is None and node.op in _GRID_PASSTHROUGH:
+                sp = plan.get(node.name)
+            if inp not in plan or (plan[inp] is None and sp is not None):
+                plan[inp] = sp
+    return plan
+
+
+def execute_int8_fused(model: Int8Model, params_f32, x: jnp.ndarray):
+    graph = model.graph
+    plan = _consumer_plan(graph, model)
+    env: Dict[str, Any] = {}
+
+    def get_f32(name: str) -> jnp.ndarray:
+        v = env[name]
+        return v.dequant() if isinstance(v, QTensor) else v
+
+    def get_i8(name: str, scale: float, zp: int) -> jnp.ndarray:
+        v = env[name]
+        if isinstance(v, QTensor):
+            return _requant_i8(v, scale, zp)
+        return _quantize_f32(v, scale, zp)
+
+    def emit(name: str, out_f32):
+        """Store a node output, quantizing per the consumer plan."""
+        sp = plan.get(name)
+        if sp is None:
+            env[name] = out_f32
+        else:
+            env[name] = QTensor(_quantize_f32(out_f32, sp[0], sp[1]), sp[0], sp[1])
+
+    input_names = graph.input_names()
+    env[input_names[0]] = x
+
+    for node in graph:
+        op = node.op
+        if op == "input":
+            continue
+        name = node.name
+        if op in ("conv", "linear") and name in model.layers:
+            layer = model.layers[name]
+            xq = get_i8(node.inputs[0], layer.in_scale, layer.in_zp)
+            if op == "conv":
+                qw = jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
+                acc = _int8_conv(xq, node, qw, layer.in_zp)
+            else:
+                acc = lax.dot_general(
+                    xq, jnp.asarray(layer.qweight).T,
+                    (((xq.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            acc = acc - layer.in_zp * jnp.asarray(layer.wsum, jnp.int32)
+            out = acc.astype(jnp.float32) * (layer.in_scale * layer.w_scale)
+            if layer.bias is not None:
+                out = out + layer.bias
+            # activation fused into the epilogue when the only consumer is
+            # a relu/relu6 whose own consumer drives the grid
+            emit(name, out)
+        elif op == "relu":
+            v = env[node.inputs[0]]
+            if isinstance(v, QTensor):
+                # exact: clamp at the zero point in the int domain
+                q = jnp.maximum(v.q, jnp.int8(v.zp))
+                env[name] = QTensor(q, v.scale, v.zp)
+                sp = plan.get(name)
+                if sp is not None and sp != (v.scale, v.zp):
+                    env[name] = QTensor(
+                        _requant_i8(env[name], sp[0], sp[1]), sp[0], sp[1]
+                    )
+            else:
+                emit(name, jax.nn.relu(v))
+        elif op == "relu6":
+            v = env[node.inputs[0]]
+            if isinstance(v, QTensor):
+                hi = int(np.clip(np.round(6.0 / v.scale) + v.zp, -128, 127))
+                q = jnp.clip(v.q, jnp.int8(v.zp), jnp.int8(hi))
+                env[name] = QTensor(q, v.scale, v.zp)
+                sp = plan.get(name)
+                if sp is not None and sp != (v.scale, v.zp):
+                    env[name] = QTensor(
+                        _requant_i8(env[name], sp[0], sp[1]), sp[0], sp[1]
+                    )
+            else:
+                emit(name, jnp.clip(v, 0.0, 6.0))
+        elif op == "add":
+            sp0 = _site_params(model, f"{name}:in0")
+            sp1 = _site_params(model, f"{name}:in1")
+            a = env[node.inputs[0]]
+            b = env[node.inputs[1]]
+            # dequantize through the site grids (keeps simulator semantics)
+            af = (
+                _requant_i8(a, *sp0).astype(jnp.float32) * sp0[0]
+                - sp0[1] * sp0[0]
+                if isinstance(a, QTensor) and sp0
+                else get_f32(node.inputs[0])
+            )
+            bf = (
+                _requant_i8(b, *sp1).astype(jnp.float32) * sp1[0]
+                - sp1[1] * sp1[0]
+                if isinstance(b, QTensor) and sp1
+                else get_f32(node.inputs[1])
+            )
+            emit(name, af + bf)
+        elif op in ("bn", "identity", "dropout"):
+            v = env[node.inputs[0]]
+            env[name] = v  # folded BN is identity; pass int8 through
+        elif op in ("maxpool",):
+            v = env[node.inputs[0]]
+            if isinstance(v, QTensor):
+                from dfq_tpu.graph.executor import _pool
+
+                # max pooling commutes with the monotone quantization grid
+                q = _pool(v.q.astype(jnp.float32), node, "max").astype(jnp.int8)
+                env[name] = QTensor(q, v.scale, v.zp)
+            else:
+                from dfq_tpu.graph.executor import _pool
+
+                emit(name, _pool(v, node, "max"))
+        else:
+            # generic f32 fallback for remaining ops
+            from dfq_tpu.graph.executor import _interpolate, _pool
+
+            ins_f = [get_f32(i) for i in node.inputs]
+
+            def site_fq(i, val):
+                sp = _site_params(model, f"{name}:in{i}")
+                if sp is None:
+                    return val
+                qv = _quantize_f32(val, sp[0], sp[1])
+                return (qv.astype(jnp.float32) - sp[1]) * sp[0]
+
+            if op == "conv":
+                from dfq_tpu.graph.executor import _conv
+
+                out = _conv(site_fq(0, ins_f[0]), node, params_f32[name])
+            elif op == "linear":
+                from dfq_tpu.graph.executor import _linear
+
+                out = _linear(site_fq(0, ins_f[0]), node, params_f32[name])
+            elif op == "concat":
+                vals = [site_fq(i, v) for i, v in enumerate(ins_f)]
+                out = jnp.concatenate(vals, axis=node.attrs.get("axis", -1))
+            elif op == "global_mean":
+                out = jnp.mean(site_fq(0, ins_f[0]), axis=(1, 2))
+            elif op == "global_pool":
+                out = jnp.mean(ins_f[0], axis=(1, 2), keepdims=True)
+            elif op == "avgpool":
+                out = _pool(ins_f[0], node, "avg")
+            elif op == "pad":
+                t_, b_, l, r = node.attrs["pads"]
+                out = jnp.pad(ins_f[0], ((0, 0), (t_, b_), (l, r), (0, 0)))
+            elif op == "interpolate":
+                out = _interpolate(site_fq(0, ins_f[0]), node)
+            elif op == "softmax":
+                out = jax.nn.softmax(
+                    site_fq(0, ins_f[0]), axis=node.attrs.get("axis", -1)
+                )
+            elif op == "reshape":
+                v = ins_f[0]
+                out = v.reshape((v.shape[0],) + tuple(node.attrs["shape"]))
+            else:
+                raise NotImplementedError(f"fused int8 engine: op {op!r}")
+            emit(name, out)
+
+    outs: List[jnp.ndarray] = []
+    for o in graph.outputs:
+        outs.append(get_f32(o))
+    return outs[0] if len(outs) == 1 else tuple(outs)

@@ -200,7 +200,10 @@ def execute(
                 for a in red:
                     n_el *= v.shape[a]
                 var = jnp.var(v, axis=red) * (n_el / max(n_el - 1, 1))
-                aux[node.name] = (mean, jnp.sqrt(var))
+                # eps inside the sqrt: d/dv sqrt(v) blows up at dead
+                # channels (zero variance), which random/saturated models
+                # do hit during distillation
+                aux[node.name] = (mean, jnp.sqrt(var + 1e-8))
             out = _bn(ins[0], node, p)
         elif op == "identity" or op == "dropout":
             if capture == "bn_inputs" and "stat_std" in p:
@@ -213,7 +216,7 @@ def execute(
                 for a in red:
                     n_el *= v.shape[a]
                 var = jnp.var(v, axis=red) * (n_el / max(n_el - 1, 1))
-                aux[node.name] = (mean, jnp.sqrt(var))
+                aux[node.name] = (mean, jnp.sqrt(var + 1e-8))
             out = ins[0]
         elif op == "relu":
             out = jax.nn.relu(ins[0])
@@ -225,6 +228,8 @@ def execute(
             out = jnp.concatenate(ins, axis=node.attrs.get("axis", -1))
         elif op == "global_mean":
             out = jnp.mean(ins[0], axis=(1, 2))
+        elif op == "global_pool":
+            out = jnp.mean(ins[0], axis=(1, 2), keepdims=True)
         elif op == "avgpool":
             out = _pool(ins[0], node, "avg")
         elif op == "maxpool":
@@ -246,6 +251,17 @@ def execute(
             out = v
         else:
             raise NotImplementedError(f"op {op!r}")
+        if capture == "layer_outputs" and op in ("conv", "linear"):
+            # per-channel mean output over batch and spatial positions.
+            # Deviation from the reference: improve_dfq.py:364 SUMS over
+            # spatial before subtracting from the bias — an HxW-fold
+            # overcorrection; its call site is dead code
+            # (main_cls.py:166-177), so the corrected (mean) semantics is
+            # used here.
+            v = jnp.mean(out, axis=0)
+            if v.ndim > 1:
+                v = jnp.mean(v, axis=tuple(range(v.ndim - 1)))
+            aux[node.name] = v
         env[node.name] = out
 
     outs = tuple(env[o] for o in graph.outputs)

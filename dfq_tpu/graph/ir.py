@@ -42,8 +42,9 @@ QUANTIZED_INPUT_OPS = {
     "softmax": 1,
 }
 
-# Ops a relation walk may pass through (reference utils/relation.py:42-43).
-PASSTHROUGH_OPS = {"bn", "relu", "avgpool", "pad", "global_mean", "dropout", "identity"}
+# Ops a relation walk may pass through (reference utils/relation.py:42-43;
+# note Dropout is NOT walkable there, so relations stop at decoder dropouts).
+PASSTHROUGH_OPS = {"bn", "relu", "avgpool", "pad", "global_mean"}
 
 
 @dataclasses.dataclass
@@ -231,8 +232,15 @@ class GraphBuilder:
 
     def global_mean(self, name: str, x: str) -> str:
         """Spatial global average -> [N, C] (reference ``torch.mean`` over
-        flattened HxW, ``modeling/classification/MobileNetV2.py:112``)."""
+        flattened HxW, ``modeling/classification/MobileNetV2.py:112``).
+        Input-quantized (the reference traces ``torch.mean``)."""
         return self._add(name, "global_mean", (x,))
+
+    def global_pool(self, name: str, x: str) -> str:
+        """Spatial global average keeping dims -> [N, 1, 1, C] (reference
+        ``nn.AdaptiveAvgPool2d((1,1))``, ``aspp.py:66``). NOT a quantizer
+        site: modules are not traced tensor ops in the reference."""
+        return self._add(name, "global_pool", (x,))
 
     def avgpool(
         self,

@@ -1,0 +1,61 @@
+"""Fused int8-to-int8 engine vs the baseline int8 engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfq_tpu.engine import execute_int8, lower_int8
+from dfq_tpu.engine.int8_fused import _consumer_plan, execute_int8_fused
+from dfq_tpu.graph import execute
+from dfq_tpu.models import init_params, mobilenet_v2, resnet18
+from dfq_tpu.pipeline import QuantConfig, prepare
+
+
+@pytest.fixture(scope="module", params=["mnv2", "r18"])
+def prepared(request):
+    graph = mobilenet_v2() if request.param == "mnv2" else resnet18()
+    params = init_params(graph, seed=0, bn_stats="random")
+    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    prep = prepare(graph, params, cfg)
+    return prep, lower_int8(prep)
+
+
+def test_plan_keeps_backbone_int8(prepared):
+    prep, model = prepared
+    plan = _consumer_plan(model.graph, model)
+    # every conv that feeds another quantized layer (possibly through
+    # relu/bn) must carry an int8 grid
+    n_conv = 0
+    n_int8 = 0
+    for node in model.graph:
+        if node.op != "conv":
+            continue
+        n_conv += 1
+        if plan.get(node.name) is not None:
+            n_int8 += 1
+    assert n_int8 >= n_conv - 1  # only the last conv before logits may be f32
+
+
+def test_fused_matches_baseline(prepared):
+    prep, model = prepared
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        np.clip(rng.normal(0, 1, (8, 224, 224, 3)), -2.117, 2.64), jnp.float32
+    )
+    base = np.asarray(jax.jit(lambda v: execute_int8(model, prep.params, v))(x))
+    fused = np.asarray(
+        jax.jit(lambda v: execute_int8_fused(model, prep.params, v))(x)
+    )
+    assert fused.shape == base.shape
+    # one extra rounding per edge: logits drift slightly but decisions hold
+    agree = float(np.mean(base.argmax(-1) == fused.argmax(-1)))
+    assert agree >= 0.9, agree
+    # and both track the FP32 model comparably
+    g_relu = prep.graph
+    fp = np.asarray(
+        jax.jit(lambda p, v: execute(g_relu, p, v))(prep.params_fp, x)
+    )
+    err_base = np.abs(base - fp).mean()
+    err_fused = np.abs(fused - fp).mean()
+    assert err_fused < err_base * 1.3, (err_base, err_fused)
