@@ -101,7 +101,15 @@ def _consumer_plan(
     return plan
 
 
-def execute_int8_fused(model: Int8Model, params_f32, x: jnp.ndarray):
+def execute_int8_fused(
+    model: Int8Model, params_f32, x: jnp.ndarray, use_pallas: bool = False
+):
+    """``use_pallas=True`` routes pointwise convs / linear layers through
+    the Pallas int8 matmul kernel and stride-1 depthwise 3x3 convs
+    through the Pallas depthwise kernel (``dfq_tpu/ops/pallas_int8.py``);
+    the default XLA path is currently faster end-to-end on v5e (XLA's
+    int8 convs hit ~276 TOPS kernel-level) but the kernels are the
+    substrate for further fusion work."""
     graph = model.graph
     plan = _consumer_plan(graph, model)
     env: Dict[str, Any] = {}
@@ -135,6 +143,65 @@ def execute_int8_fused(model: Int8Model, params_f32, x: jnp.ndarray):
         if op in ("conv", "linear") and name in model.layers:
             layer = model.layers[name]
             xq = get_i8(node.inputs[0], layer.in_scale, layer.in_zp)
+            sp = plan.get(name)
+
+            is_pw = (
+                op == "conv"
+                and node.attrs["kernel"] == (1, 1)
+                and node.attrs["groups"] == 1
+                and node.attrs["stride"] == (1, 1)
+                and node.attrs["padding"] == (0, 0)
+            )
+            is_dw1 = (
+                op == "conv"
+                and node.attrs["kernel"] == (3, 3)
+                and node.attrs["groups"] == node.attrs["in_ch"]
+                and node.attrs["stride"] == (1, 1)
+                and node.attrs["padding"] == (1, 1)
+                and node.attrs["dilation"] == (1, 1)
+            )
+            if use_pallas and (is_pw or op == "linear" or is_dw1):
+                from dfq_tpu.ops.pallas_int8 import (
+                    dw3x3_int8_requant,
+                    matmul_int8_requant,
+                )
+
+                comb_scale = jnp.asarray(layer.in_scale * layer.w_scale)
+                bias = jnp.asarray(
+                    layer.bias
+                    if layer.bias is not None
+                    else np.zeros(layer.qweight.shape[0], np.float32)
+                )
+                s_out, zp_out = sp if sp is not None else (1.0, 0)
+                if is_dw1:
+                    w9 = jnp.asarray(
+                        layer.qweight[:, 0].reshape(layer.qweight.shape[0], 9).T
+                    )
+                    q = dw3x3_int8_requant(
+                        xq, w9, comb_scale, bias,
+                        zp_in=layer.in_zp, s_out=float(s_out), zp_out=int(zp_out),
+                        out_f32=sp is None,
+                    )
+                else:
+                    shp = xq.shape
+                    x2d = xq.reshape(-1, shp[-1])
+                    w2d = jnp.asarray(
+                        layer.qweight.reshape(layer.qweight.shape[0], -1).T
+                    )
+                    q = matmul_int8_requant(
+                        x2d, w2d, comb_scale, bias,
+                        jnp.asarray(layer.wsum, jnp.int32),
+                        zp_in=layer.in_zp, s_out=float(s_out), zp_out=int(zp_out),
+                        out_f32=sp is None,
+                    )
+                    out_ch = layer.qweight.shape[0]
+                    q = q.reshape(shp[:-1] + (out_ch,))
+                if sp is None:
+                    env[name] = q
+                else:
+                    env[name] = QTensor(q, sp[0], sp[1])
+                continue
+
             if op == "conv":
                 qw = jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
                 acc = _int8_conv(xq, node, qw, layer.in_zp)
