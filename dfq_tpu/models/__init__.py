@@ -1,5 +1,14 @@
 from dfq_tpu.models.common import init_params, load_torch_state_dict  # noqa: F401
 from dfq_tpu.models.mobilenet_v2 import mobilenet_v2  # noqa: F401
 from dfq_tpu.models.resnet import resnet18  # noqa: F401
-from dfq_tpu.models.deeplab import deeplab_mobilenet_v2  # noqa: F401
+from dfq_tpu.models.deeplab import (  # noqa: F401
+    deeplab_mobilenet_v2,
+    deeplab_resnet101,
+)
 from dfq_tpu.models.ssd import SSDConfig, mobilenet_v2_ssd_lite  # noqa: F401
+from dfq_tpu.models.ssd_variants import (  # noqa: F401
+    mobilenet_v1_ssd,
+    mobilenet_v1_ssd_lite,
+    vgg16_ssd,
+    vgg_ssd_config,
+)

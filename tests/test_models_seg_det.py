@@ -223,3 +223,106 @@ def test_ap_metrics():
     assert compute_average_precision(np.ones(5), np.linspace(0.2, 1, 5)) == (
         pytest.approx(1.0)
     )
+
+
+def test_ssd_variant_family_builds():
+    """MobileNetV1-SSD / -Lite and VGG16-SSD (reference
+    mobilenetv1_ssd.py, mobilenetv1_ssd_lite.py, vgg_ssd.py)."""
+    import jax
+
+    from dfq_tpu.models import (
+        mobilenet_v1_ssd,
+        mobilenet_v1_ssd_lite,
+        vgg16_ssd,
+        vgg_ssd_config,
+    )
+
+    for fn, n_priors in [
+        (mobilenet_v1_ssd, 3000),
+        (mobilenet_v1_ssd_lite, 3000),
+        (vgg16_ssd, 8732),
+    ]:
+        g = fn(num_classes=21)
+        p = init_params(g, seed=0, bn_stats="random")
+        conf, loc = jax.jit(lambda pp, v, gg=g: execute(gg, pp, v))(
+            p, jnp.ones((1, 300, 300, 3))
+        )
+        assert conf.shape == (1, n_priors, 21)
+        assert loc.shape == (1, n_priors, 4)
+    assert vgg_ssd_config().priors.shape == (8732, 4)
+
+
+def test_vgg_priors_parity_with_reference():
+    import importlib.util
+    import os
+    import sys
+
+    path = "/root/reference/utils/detection/box_utils.py"
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    pytest.importorskip("torch")
+    mod = sys.modules.get("ref_box_utils")
+    if mod is None:
+        spec = importlib.util.spec_from_file_location("ref_box_utils", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_box_utils"] = mod
+        spec.loader.exec_module(mod)
+    from dfq_tpu.models import vgg_ssd_config
+
+    specs = [
+        mod.SSDSpec(38, 8, mod.SSDBoxSizes(30, 60), [2]),
+        mod.SSDSpec(19, 16, mod.SSDBoxSizes(60, 111), [2, 3]),
+        mod.SSDSpec(10, 32, mod.SSDBoxSizes(111, 162), [2, 3]),
+        mod.SSDSpec(5, 64, mod.SSDBoxSizes(162, 213), [2, 3]),
+        mod.SSDSpec(3, 100, mod.SSDBoxSizes(213, 264), [2]),
+        mod.SSDSpec(1, 300, mod.SSDBoxSizes(264, 315), [2]),
+    ]
+    ref = mod.generate_ssd_priors(specs, 300).numpy()
+    np.testing.assert_allclose(vgg_ssd_config().priors, ref, atol=1e-6)
+
+
+def test_mb1_ssd_data_free_ranges_unsupported_like_reference():
+    """MobileNetV1-SSD's extras/heads stack BN-less convs, which the
+    data-free range setter cannot handle — matching the reference, whose
+    find_prev_bn asserts on multiple no-BN convs per branch
+    (layer_transform.py:330). Distilled-range calibration covers it."""
+    from dfq_tpu.models import mobilenet_v1_ssd
+
+    g = mobilenet_v1_ssd(num_classes=21)
+    p = init_params(g, seed=1, bn_stats="random")
+    cfg = QuantConfig(
+        quantize=True, relu=True, equalize=True, bits_bias=16,
+        delete_single=True, is_detection=True,
+    )
+    with pytest.raises(AssertionError, match="without BatchNorm"):
+        prepare(g, p, cfg)
+
+    # the distilled-data path has no such restriction
+    from dfq_tpu.calib import calibrate_ranges
+    from dfq_tpu.passes import fold_batchnorm
+
+    g2 = g.map_ops({"relu6": "relu"})
+    gf, pf = fold_batchnorm(g2, p)
+    rng = np.random.default_rng(0)
+    batches = [rng.uniform(-1, 1, (2, 300, 300, 3)).astype(np.float32)]
+    ranges = calibrate_ranges(gf, pf, batches, is_detection=True)
+    sites = quant_sites(gf)
+    assert set(ranges) == set(sites)
+
+
+def test_deeplab_resnet101_builds_and_runs():
+    import jax
+
+    from dfq_tpu.models import deeplab_resnet101
+
+    g = deeplab_resnet101(input_size=65)
+    p = init_params(g, seed=0, bn_stats="random")
+    out = jax.jit(lambda pp, v: execute(g, pp, v))(p, jnp.ones((1, 65, 65, 3)))
+    assert out.shape == (1, 65, 65, 21)
+    # ResNet-101: 1 stem + 33 bottlenecks*3 + 4 downsamples + aspp 6 + dec 4
+    n_conv = sum(1 for n in g if n.op == "conv")
+    assert n_conv == 1 + 33 * 3 + 4 + 6 + 4
+    # multi-grid dilations in layer4 at os16: 2, 4, 8
+    assert g["backbone.layer4.0.conv2"].attrs["dilation"] == (2, 2)
+    assert g["backbone.layer4.1.conv2"].attrs["dilation"] == (4, 4)
+    assert g["backbone.layer4.2.conv2"].attrs["dilation"] == (8, 8)
