@@ -7,8 +7,11 @@ from dfq_tpu.models.deeplab import (  # noqa: F401
 )
 from dfq_tpu.models.ssd import SSDConfig, mobilenet_v2_ssd_lite  # noqa: F401
 from dfq_tpu.models.ssd_variants import (  # noqa: F401
+    fpn_mobilenet_v1_ssd,
     mobilenet_v1_ssd,
     mobilenet_v1_ssd_lite,
+    squeezenet_ssd_config,
+    squeezenet_ssd_lite,
     vgg16_ssd,
     vgg_ssd_config,
 )

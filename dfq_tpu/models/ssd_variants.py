@@ -160,6 +160,124 @@ def mobilenet_v1_ssd_lite(num_classes: int = 21) -> Graph:
     return b.build([conf, loc])
 
 
+SQUEEZENET_SSD_SPECS = (
+    SSDSpec(17, 16, 60, 105, (2, 3)),
+    SSDSpec(10, 32, 105, 150, (2, 3)),
+    SSDSpec(5, 64, 150, 195, (2, 3)),
+    SSDSpec(3, 100, 195, 240, (2, 3)),
+    SSDSpec(2, 150, 240, 285, (2, 3)),
+    SSDSpec(1, 300, 285, 330, (2, 3)),
+)
+
+
+def squeezenet_ssd_config() -> SSDConfig:
+    return SSDConfig(priors=generate_ssd_priors(SQUEEZENET_SSD_SPECS, 300))
+
+
+def _fire(b, prefix, x, inp, squeeze, e1, e3):
+    """SqueezeNet Fire module (reference nn/squeezenet.py:17-37):
+    squeeze 1x1 -> relu -> concat(expand1x1+relu, expand3x3+relu)."""
+    s = b.conv(f"{prefix}.squeeze", x, inp, squeeze, (1, 1), bias=True)
+    s = b.relu(f"{prefix}.squeeze_activation", s)
+    a = b.conv(f"{prefix}.expand1x1", s, squeeze, e1, (1, 1), bias=True)
+    a = b.relu(f"{prefix}.expand1x1_activation", a)
+    c = b.conv(f"{prefix}.expand3x3", s, squeeze, e3, (3, 3), padding=(1, 1),
+               bias=True)
+    c = b.relu(f"{prefix}.expand3x3_activation", c)
+    return b.concat(f"{prefix}.cat", [a, c], axis=-1)
+
+
+def squeezenet_ssd_lite(num_classes: int = 21) -> Graph:
+    """SqueezeNet-1.1 SSD-Lite (reference squeezenet_ssd_lite.py:21-74):
+    single base tap after features[11] (512ch @ 17x17 for 300^2 input —
+    the stem conv and pools are unpadded/floor), 5 BN-free separable
+    extras, separable heads, 17/10/5/3/2/1 prior grids."""
+    b = GraphBuilder()
+    act = b.relu
+    x = b.input("data")
+    x = b.conv("base_net.0", x, 3, 64, (3, 3), stride=(2, 2), bias=True)
+    x = act("base_net.1", x)
+    x = b.maxpool("base_net.2", x, window=(3, 3), stride=(2, 2))
+    x = _fire(b, "base_net.3", x, 64, 16, 64, 64)
+    x = _fire(b, "base_net.4", x, 128, 16, 64, 64)
+    x = b.maxpool("base_net.5", x, window=(3, 3), stride=(2, 2))
+    x = _fire(b, "base_net.6", x, 128, 32, 128, 128)
+    x = _fire(b, "base_net.7", x, 256, 32, 128, 128)
+    x = b.maxpool("base_net.8", x, window=(3, 3), stride=(2, 2))
+    x = _fire(b, "base_net.9", x, 256, 48, 192, 192)
+    x = _fire(b, "base_net.10", x, 384, 48, 192, 192)
+    x = _fire(b, "base_net.11", x, 384, 64, 256, 256)
+    taps = [(x, 512)]
+    x = _fire(b, "base_net.12", x, 512, 64, 256, 256)
+
+    extras = [
+        (512, 256, 512, 2),  # SeperableConv2d pad=2 on the first extra
+        (512, 256, 512, 1),
+        (512, 128, 256, 1),
+        (256, 128, 256, 1),
+        (256, 128, 256, 1),
+    ]
+    for j, (ci, mid, co, pad) in enumerate(extras):
+        x = b.conv(f"extras.{j}.0", x, ci, mid, (1, 1), bias=True)
+        x = act(f"extras.{j}.1", x)
+        x = _lite_sep(b, act, f"extras.{j}.2", x, mid, co, stride=2, pad=pad)
+        taps.append((x, co))
+
+    def head(prefix, y, ch, cout, i):
+        if i < 5:
+            return _lite_sep(b, act, prefix, y, ch, cout)
+        return b.conv(prefix, y, ch, cout, (1, 1), bias=True)
+
+    conf, loc = _heads_and_outputs(b, taps, head, num_classes, [6] * 6)
+    return b.build([conf, loc])
+
+
+def fpn_mobilenet_v1_ssd(num_classes: int = 21) -> Graph:
+    """FPN-SSD over MobileNetV1 (reference fpn_ssd.py:36-86 +
+    fpn_mobilenetv1_ssd.py). NOTE: the reference composition is dead
+    code and broken as written (it accesses ``MobileNetV1.features``
+    which does not exist, ``fpn_mobilenetv1_ssd.py:11``); this is the
+    corrected equivalent: taps after blocks 11/13 projected to 256ch,
+    extras to 256ch, top-down bilinear upsample+add, 3x3 heads on the
+    merged 256-channel pyramid."""
+    b = GraphBuilder()
+    act = b.relu
+    x = b.input("data")
+    taps, x = _mb1_backbone(b, act, x)
+    # project base taps to the 256-ch pyramid (source_layer_add_ons)
+    sizes = [19, 10]
+    feats = []
+    for i, (y, ch) in enumerate(taps):
+        y = b.conv(f"source_layer_add_ons.{i}", y, ch, 256, (1, 1), bias=True)
+        feats.append(y)
+
+    extras = [(1024, 256, 256), (256, 128, 256), (256, 128, 256), (256, 128, 256)]
+    for j, (ci, mid, co) in enumerate(extras):
+        x = _plain_extra(b, act, f"extras.{j}", x, ci, mid, co)
+        feats.append(x)
+    sizes += [5, 3, 2, 1]
+
+    # top-down pathway (fpn_ssd.py:73-82)
+    merged = [None] * 6
+    upstream = feats[5]
+    merged[5] = upstream
+    for i in range(4, -1, -1):
+        up = b.interpolate(
+            f"fpn_up.{i}", upstream, size=(sizes[i], sizes[i]),
+            mode="bilinear", align_corners=False,
+        )
+        upstream = b.add(f"fpn_add.{i}", up, feats[i])
+        merged[i] = upstream
+
+    def head(prefix, y, ch, cout, i):
+        return b.conv(prefix, y, ch, cout, (3, 3), padding=(1, 1), bias=True)
+
+    conf, loc = _heads_and_outputs(
+        b, [(m, 256) for m in merged], head, num_classes, [6] * 6
+    )
+    return b.build([conf, loc])
+
+
 def vgg16_ssd(num_classes: int = 21) -> Graph:
     b = GraphBuilder()
     x = b.input("data")

@@ -326,3 +326,33 @@ def test_deeplab_resnet101_builds_and_runs():
     assert g["backbone.layer4.0.conv2"].attrs["dilation"] == (2, 2)
     assert g["backbone.layer4.1.conv2"].attrs["dilation"] == (4, 4)
     assert g["backbone.layer4.2.conv2"].attrs["dilation"] == (8, 8)
+
+
+def test_squeezenet_and_fpn_ssd_variants():
+    import jax
+
+    from dfq_tpu.models import (
+        fpn_mobilenet_v1_ssd,
+        squeezenet_ssd_config,
+        squeezenet_ssd_lite,
+    )
+
+    g = squeezenet_ssd_lite(21)
+    p = init_params(g, seed=0, bn_stats="random")
+    conf, loc = jax.jit(lambda pp, v: execute(g, pp, v))(
+        p, jnp.ones((1, 300, 300, 3))
+    )
+    # 17/10/5/3/2/1 grids x 6 priors = 2568 (squeezenet_ssd_config.py)
+    assert conf.shape == (1, 2568, 21)
+    assert squeezenet_ssd_config().priors.shape == (2568, 4)
+    # Fire modules create quantized concat sites
+    assert any(n.op == "concat" and "base_net" in n.name for n in g)
+
+    g2 = fpn_mobilenet_v1_ssd(21)
+    p2 = init_params(g2, seed=0, bn_stats="random")
+    conf2, loc2 = jax.jit(lambda pp, v: execute(g2, pp, v))(
+        p2, jnp.ones((1, 300, 300, 3))
+    )
+    assert conf2.shape == (1, 3000, 21)
+    # top-down adds exist at every pyramid level
+    assert sum(1 for n in g2 if n.op == "add" and n.name.startswith("fpn_add")) == 5
