@@ -3,7 +3,9 @@ from dfq_tpu.models.mobilenet_v2 import mobilenet_v2  # noqa: F401
 from dfq_tpu.models.resnet import resnet18  # noqa: F401
 from dfq_tpu.models.deeplab import (  # noqa: F401
     deeplab_mobilenet_v2,
+    deeplab_drn,
     deeplab_resnet101,
+    deeplab_xception,
 )
 from dfq_tpu.models.ssd import SSDConfig, mobilenet_v2_ssd_lite  # noqa: F401
 from dfq_tpu.models.ssd_variants import (  # noqa: F401

@@ -178,6 +178,51 @@ def deeplab_mobilenet_v2(
     return b.build([x])
 
 
+def deeplab_xception(
+    n_class: int = 21,
+    output_stride: int = 16,
+    input_size: int = 513,
+) -> Graph:
+    """DeepLab-v3+ with the Aligned Xception backbone (reference
+    ``backbone/xception.py``); ASPP inplanes 2048, low-level 128ch
+    (``aspp.py:58-62``, ``decoder.py:11-12``)."""
+    from dfq_tpu.models.xception import xception_backbone
+
+    b = GraphBuilder()
+    x = b.input("data")
+    x, low_level = xception_backbone(b, x, output_stride)
+    stride_all = output_stride
+    h = (input_size - 1) // stride_all + 1
+    low_h = (input_size - 1) // 4 + 1
+    x = _aspp_and_decoder(
+        b, x, low_level,
+        inplanes=2048, low_level_ch=128, h=h, low_h=low_h,
+        n_class=n_class, output_stride=output_stride, input_size=input_size,
+    )
+    return b.build([x])
+
+
+def deeplab_drn(
+    n_class: int = 21,
+    input_size: int = 513,
+) -> Graph:
+    """DeepLab-v3+ with DRN-D-54 (reference forces output_stride 8 for
+    DRN, ``deeplab.py:13-14``; ASPP inplanes 512, low-level 256ch)."""
+    from dfq_tpu.models.drn import drn_d_54_backbone
+
+    b = GraphBuilder()
+    x = b.input("data")
+    x, low_level = drn_d_54_backbone(b, x)
+    h = (input_size - 1) // 8 + 1
+    low_h = (input_size - 1) // 4 + 1
+    x = _aspp_and_decoder(
+        b, x, low_level,
+        inplanes=512, low_level_ch=256, h=h, low_h=low_h,
+        n_class=n_class, output_stride=8, input_size=input_size,
+    )
+    return b.build([x])
+
+
 def deeplab_resnet101(
     n_class: int = 21,
     output_stride: int = 16,

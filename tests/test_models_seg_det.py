@@ -356,3 +356,45 @@ def test_squeezenet_and_fpn_ssd_variants():
     assert conf2.shape == (1, 3000, 21)
     # top-down adds exist at every pyramid level
     assert sum(1 for n in g2 if n.op == "add" and n.name.startswith("fpn_add")) == 5
+
+
+def test_deeplab_xception_and_drn_build():
+    import jax
+
+    from dfq_tpu.models import deeplab_drn, deeplab_xception
+
+    for fn, n_conv_min in [(deeplab_xception, 130), (deeplab_drn, 60)]:
+        g = fn(input_size=65)
+        p = init_params(g, seed=0, bn_stats="random")
+        out = jax.jit(lambda pp, v, gg=g: execute(gg, pp, v))(
+            p, jnp.ones((1, 65, 65, 3))
+        )
+        assert out.shape == (1, 65, 65, 21)
+        assert sum(1 for n in g if n.op == "conv") >= n_conv_min
+
+
+def test_multibox_loss_and_match_prior():
+    import jax.numpy as jnp2
+
+    from dfq_tpu.detection.losses import MatchPrior, multibox_loss
+    from dfq_tpu.models import SSDConfig
+
+    cfg = SSDConfig()
+    matcher = MatchPrior(cfg.priors, cfg.center_variance, cfg.size_variance,
+                         cfg.iou_threshold)
+    gt_boxes = np.array([[0.1, 0.1, 0.4, 0.5], [0.5, 0.5, 0.9, 0.9]], np.float32)
+    gt_labels = np.array([3, 7])
+    locations, labels = matcher(gt_boxes, gt_labels)
+    assert locations.shape == (3000, 4)
+    assert labels.shape == (3000,)
+    assert set(np.unique(labels)) <= {0, 3, 7}
+    assert (labels > 0).sum() >= 2  # every target matched at least once
+
+    rng = np.random.default_rng(0)
+    conf = jnp2.asarray(rng.normal(0, 1, (2, 3000, 21)), jnp2.float32)
+    pred_loc = jnp2.asarray(rng.normal(0, 1, (2, 3000, 4)), jnp2.float32)
+    lab = jnp2.asarray(np.stack([labels, labels]))
+    gt_loc = jnp2.asarray(np.stack([locations, locations]))
+    l1, ce = multibox_loss(conf, pred_loc, lab, gt_loc)
+    assert np.isfinite(float(l1)) and np.isfinite(float(ce))
+    assert float(ce) > 0 and float(l1) > 0
