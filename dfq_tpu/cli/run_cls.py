@@ -35,6 +35,9 @@ def get_argument():
     p.add_argument("--bits_bias", type=int, default=8)
     p.add_argument("--dis_batch_size", type=int, default=64)
     p.add_argument("--dis_num_batch", type=int, default=8)
+    p.add_argument("--true_data", action="store_true",
+                   help="calibrate ranges from real images in --data-dir "
+                        "instead of distilled data (reference main_cls.py:96-114)")
     # framework extensions
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu); the axon plugin "
@@ -108,12 +111,25 @@ def main():
     if args.distill_range and args.quantize:
         from dfq_tpu.calib import DistillConfig, calibrate_ranges, distill_data
 
-        dcfg = DistillConfig(
-            batch_size=args.dis_batch_size,
-            num_batch=args.dis_num_batch,
-            early_break_factor=1.2 if args.resnet else 0.5,
-        )
-        batches = distill_data(prep.graph, prep.params_fp, dcfg, verbose=True)
+        if args.true_data:
+            if not args.data_dir:
+                raise SystemExit("--true_data requires --data-dir")
+            from dfq_tpu.data import imagenet_batches
+
+            batches = [
+                imgs
+                for imgs, _ in imagenet_batches(
+                    args.data_dir, args.dis_batch_size,
+                    limit=args.dis_batch_size * args.dis_num_batch,
+                )
+            ]
+        else:
+            dcfg = DistillConfig(
+                batch_size=args.dis_batch_size,
+                num_batch=args.dis_num_batch,
+                early_break_factor=1.2 if args.resnet else 0.5,
+            )
+            batches = distill_data(prep.graph, prep.params_fp, dcfg, verbose=True)
         prep.act_ranges = calibrate_ranges(prep.graph, prep.params, batches)
 
     print(f"pipeline: {time.time() - t0:.1f}s")

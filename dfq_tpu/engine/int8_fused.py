@@ -72,6 +72,35 @@ def _requant_i8(t: QTensor, scale: float, zp: int) -> jnp.ndarray:
     return (jnp.clip(jnp.round(r), 0.0, 255.0) - 128.0).astype(jnp.int8)
 
 
+def _s2d_weights(qw: np.ndarray) -> np.ndarray:
+    """Rewrite a k3 s2 p1 stem conv's OIHW int8 weights into the exact
+    space-to-depth(2) equivalent: k2 s1 conv over 4x the channels.
+    Tap (di, dj) of the original kernel maps to kernel position
+    (di//2, dj//2) and packed channel ((di%2)*2 + dj%2)*C + c; unused
+    positions are zero (so wsum is unchanged)."""
+    o, c, _, _ = qw.shape
+    w2 = np.zeros((o, 4 * c, 2, 2), np.int8)
+    for di in range(3):
+        for dj in range(3):
+            ki, pi = di // 2, di % 2
+            kj, pj = dj // 2, dj % 2
+            w2[:, (pi * 2 + pj) * c : (pi * 2 + pj) * c + c, ki, kj] = qw[:, :, di, dj]
+    return w2
+
+
+def _space_to_depth2(xq: jnp.ndarray, zp: int) -> jnp.ndarray:
+    """Pad by 1 with zp then pack 2x2 pixel patches into channels:
+    [N, H, W, C] -> [N, H/2+1, W/2+1, 4C]."""
+    n, h, w, c = xq.shape
+    xp = jnp.pad(
+        xq, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=np.int8(zp)
+    )
+    hp, wp = h + 2, w + 2
+    y = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+    return y.reshape(n, hp // 2, wp // 2, 4 * c)
+
+
 # ops through which an output grid propagates backward unchanged:
 # quantize-then-clamp equals clamp-then-quantize for monotone grid +
 # monotone op (relu/relu6/maxpool), and identity ops trivially
@@ -102,7 +131,11 @@ def _consumer_plan(
 
 
 def execute_int8_fused(
-    model: Int8Model, params_f32, x: jnp.ndarray, use_pallas: bool = False
+    model: Int8Model,
+    params_f32,
+    x: jnp.ndarray,
+    use_pallas: bool = False,
+    stem_s2d: bool = True,
 ):
     """``use_pallas=True`` routes pointwise convs / linear layers through
     the Pallas int8 matmul kernel and stride-1 depthwise 3x3 convs
@@ -144,6 +177,35 @@ def execute_int8_fused(
             layer = model.layers[name]
             xq = get_i8(node.inputs[0], layer.in_scale, layer.in_zp)
             sp = plan.get(name)
+
+            is_stem = (
+                stem_s2d
+                and op == "conv"
+                and graph[node.inputs[0]].op == "input"
+                and node.attrs["kernel"] == (3, 3)
+                and node.attrs["stride"] == (2, 2)
+                and node.attrs["padding"] == (1, 1)
+                and node.attrs["groups"] == 1
+                and node.attrs["dilation"] == (1, 1)
+                and x.shape[1] % 2 == 0
+            )
+            if is_stem:
+                # exact space-to-depth rewrite: k3s2p1 over C channels ->
+                # k2s1 valid over 4C channels (larger K, half the rows)
+                xs = _space_to_depth2(xq, layer.in_zp)
+                w2 = _s2d_weights(layer.qweight)
+                qw = jnp.transpose(jnp.asarray(w2), (2, 3, 1, 0))
+                acc = lax.conv_general_dilated(
+                    xs, qw, (1, 1), ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = acc - layer.in_zp * jnp.asarray(layer.wsum, jnp.int32)
+                out = acc.astype(jnp.float32) * (layer.in_scale * layer.w_scale)
+                if layer.bias is not None:
+                    out = out + layer.bias
+                emit(name, out)
+                continue
 
             is_pw = (
                 op == "conv"

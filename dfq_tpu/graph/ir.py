@@ -127,6 +127,38 @@ class Graph:
     def input_names(self) -> List[str]:
         return [n.name for n in self.nodes.values() if n.op == "input"]
 
+    def summary(self) -> str:
+        """Tabular layer listing (PyTransformer ``summary`` parity,
+        reference ``main_cls.py:129``)."""
+        lines = [f"{'name':<40} {'op':<12} {'attrs'}"]
+        for n in self.nodes.values():
+            attrs = {
+                k: v
+                for k, v in n.attrs.items()
+                if k in ("in_ch", "out_ch", "kernel", "stride", "groups",
+                         "dilation", "in_f", "out_f")
+            }
+            lines.append(f"{n.name:<40} {n.op:<12} {attrs}")
+        return "\n".join(lines)
+
+    def to_dot(self) -> str:
+        """Graphviz dot source (PyTransformer ``visualize`` parity,
+        reference ``main_cls.py:130``)."""
+        lines = ["digraph G {", "  rankdir=TB;", '  node [shape=box, fontsize=10];']
+        for n in self.nodes.values():
+            color = {
+                "conv": "lightblue", "linear": "lightblue", "bn": "lightyellow",
+                "add": "lightpink", "concat": "lightpink",
+            }.get(n.op, "white")
+            lines.append(
+                f'  "{n.name}" [label="{n.name}\\n{n.op}", '
+                f'style=filled, fillcolor={color}];'
+            )
+            for inp in n.inputs:
+                lines.append(f'  "{inp}" -> "{n.name}";')
+        lines.append("}")
+        return "\n".join(lines)
+
 
 def quant_sites(graph: Graph) -> List[str]:
     """All activation-quantizer site keys in topological order.

