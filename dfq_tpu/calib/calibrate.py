@@ -65,3 +65,46 @@ def calibrate_ranges(
                     DET_INPUT_RANGE if is_detection else CLS_INPUT_RANGE
                 )
     return ranges
+
+
+def estimate_stats(
+    graph: Graph,
+    params,
+    batches: Iterable[np.ndarray],
+    *,
+    momentum: float = 0.1,
+    num_epoch: int = 10,
+    bits_act: int = 8,
+) -> Dict[str, Tuple[float, float]]:
+    """Data-dependent range estimation over REAL images (reference
+    ``estimate_stats``, ``main_seg.py:40-82``: the model is run in train
+    mode so every QuantMeasure EMA-updates its running min/max,
+    ``utils/quantize.py:109-113``:
+    ``running <- running*(1-m) + batch_stat*m``, m=0.1, where the batch
+    stat is the mean over samples of per-sample min/max, and the forward
+    quantizes each site with the batch stat itself).
+
+    ``batches`` may be a list (re-iterated per epoch) or any re-iterable.
+    Returns the frozen ranges to evaluate with.
+    """
+    sites = quant_sites(graph)
+    ranges: Dict[str, Tuple[float, float]] = {s: (0.0, 0.0) for s in sites}
+
+    @jax.jit
+    def observe(p, x):
+        _, aux = execute(
+            graph, p, x, bits_act=bits_act, capture="minmax", self_quant=True
+        )
+        return aux
+
+    for _ in range(num_epoch):
+        for batch in batches:
+            aux = observe(params, jnp.asarray(batch, jnp.float32))
+            for s in sites:
+                mn, mx = aux[s]
+                lo, hi = ranges[s]
+                ranges[s] = (
+                    lo * (1.0 - momentum) + float(mn) * momentum,
+                    hi * (1.0 - momentum) + float(mx) * momentum,
+                )
+    return ranges

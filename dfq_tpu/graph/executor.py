@@ -139,6 +139,7 @@ def execute(
     act_ranges: Optional[Dict[str, Tuple[Any, Any]]] = None,
     bits_act: int = 8,
     capture: Optional[str] = None,
+    self_quant: bool = False,
 ):
     """Run the graph. Returns output (or tuple of outputs), plus an aux
     dict when ``capture`` is set.
@@ -153,8 +154,14 @@ def execute(
 
     def site_value(node, i, val):
         key = f"{node.name}:in{i}"
-        if capture == "minmax" and key in [s for s in node_sites(node)]:
+        is_site = key in node_sites(node)
+        if capture == "minmax" and is_site:
             aux[key] = _per_sample_minmax(val)
+        if self_quant and is_site:
+            # QuantMeasure training branch: quantize with THIS batch's
+            # mean-of-per-sample min/max (utils/quantize.py:109-119)
+            mn, mx = aux[key] if key in aux else _per_sample_minmax(val)
+            return fake_quant(val, mn, mx, bits=bits_act)
         if key in act_ranges:
             mn, mx = act_ranges[key]
             val = fake_quant(val, mn, mx, bits=bits_act)
@@ -241,6 +248,12 @@ def execute(
             out = _interpolate(ins[0], node)
         elif op == "softmax":
             out = jax.nn.softmax(ins[0], axis=node.attrs.get("axis", -1))
+        elif op == "l2norm":
+            # F.normalize(p=2, dim=channel) * scale: v / max(||v||, eps)
+            # (torch eps=1e-12), reference scaled_l2_norm.py:14-16
+            v = ins[0]
+            norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+            out = v / jnp.maximum(norm, 1e-12) * p["scale"]
         elif op == "reshape":
             v = ins[0]
             out = v.reshape((v.shape[0],) + tuple(node.attrs["shape"]))

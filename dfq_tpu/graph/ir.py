@@ -340,6 +340,13 @@ class GraphBuilder:
     def dropout(self, name: str, x: str) -> str:
         return self._add(name, "dropout", (x,))
 
+    def l2norm(self, name: str, x: str, ch: int, *, initial_scale: float = 20.0) -> str:
+        """Channel L2-normalize then multiply a learnable per-channel scale
+        (reference ``ScaledL2Norm``,
+        ``modeling/detection/nn/scaled_l2_norm.py:6-20``). A module in the
+        reference, so not a traced-tensor-op quantizer site."""
+        return self._add(name, "l2norm", (x,), ch=ch, initial_scale=initial_scale)
+
     def identity(self, name: str, x: str) -> str:
         return self._add(name, "identity", (x,))
 

@@ -1,6 +1,7 @@
 from dfq_tpu.models.common import init_params, load_torch_state_dict  # noqa: F401
 from dfq_tpu.models.mobilenet_v2 import mobilenet_v2  # noqa: F401
 from dfq_tpu.models.resnet import resnet18  # noqa: F401
+from dfq_tpu.models.alexnet import alexnet  # noqa: F401
 from dfq_tpu.models.deeplab import (  # noqa: F401
     deeplab_mobilenet_v2,
     deeplab_drn,

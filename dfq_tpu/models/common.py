@@ -62,6 +62,10 @@ def init_params(
                     "mean": np.zeros((c,), np.float32),
                     "var": np.ones((c,), np.float32),
                 }
+        elif node.op == "l2norm":
+            c = node.attrs["ch"]
+            s0 = float(node.attrs.get("initial_scale", 20.0))
+            params[node.name] = {"scale": np.full((c,), s0, np.float32)}
     return params
 
 
@@ -109,4 +113,6 @@ def load_torch_state_dict(
                     raise KeyError(f"missing {key} for node {node.name}")
                 p[ok] = to_np(state_dict[key])
             params[node.name] = p
+        elif node.op == "l2norm":
+            params[node.name] = {"scale": to_np(state_dict[f"{prefix}.scale"])}
     return params
