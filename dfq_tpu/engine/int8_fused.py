@@ -130,12 +130,114 @@ def _consumer_plan(
     return plan
 
 
+def _find_fusable_blocks(graph: Graph, model: Int8Model, plan):
+    """Identify inverted-residual chains
+    ``pw-expand -> relu(6) -> dw3x3 s1 -> relu(6) -> pw-project [-> add]``
+    whose site grids line up with the engine's consumer plan, so the
+    whole block can run as one Pallas kernel (``fused_block_int8``)
+    bit-exactly. Returns {expand_name: info}."""
+
+    def walk(name, skips):
+        """Next non-identity single consumer; folded-BN/identity/dropout
+        nodes pass int8 tensors through unchanged in this engine, so a
+        fused chain may span them (they land on the skip list)."""
+        while True:
+            cs = graph.consumers(name)
+            if len(cs) != 1 or name in graph.outputs:
+                return None
+            n = graph[cs[0]]
+            if n.op in ("bn", "identity", "dropout"):
+                skips.append(n.name)
+                name = n.name
+                continue
+            return n
+
+    act_hi = {"relu": 3.4e38, "relu6": 6.0}
+    blocks = {}
+    for node in graph:
+        if node.op != "conv" or node.name not in model.layers:
+            continue
+        a = node.attrs
+        if not (
+            a["kernel"] == (1, 1) and a["groups"] == 1
+            and a["stride"] == (1, 1) and a["padding"] == (0, 0)
+        ):
+            continue
+        skips: List[str] = []
+        r1 = walk(node.name, skips)
+        if r1 is None or r1.op not in act_hi or r1.name in graph.outputs:
+            continue
+        dw = walk(r1.name, skips)
+        if dw is None or dw.op != "conv" or dw.name not in model.layers:
+            continue
+        da = dw.attrs
+        if not (
+            da["kernel"] == (3, 3) and da["groups"] == da["in_ch"]
+            and da["stride"] == (1, 1) and da["padding"] == (1, 1)
+            and da["dilation"] == (1, 1)
+        ):
+            continue
+        r2 = walk(dw.name, skips)
+        if r2 is None or r2.op not in act_hi or r2.name in graph.outputs:
+            continue
+        pj = walk(r2.name, skips)
+        if pj is None or pj.op != "conv" or pj.name not in model.layers:
+            continue
+        pa = pj.attrs
+        if not (
+            pa["kernel"] == (1, 1) and pa["groups"] == 1
+            and pa["stride"] == (1, 1) and pa["padding"] == (0, 0)
+        ):
+            continue
+        Le, Ld, Lp = (model.layers[n.name] for n in (node, dw, pj))
+        # the engine's grids through the chain must be exactly the next
+        # layer's input params (no intermediate requants)
+        if plan.get(node.name) != (Ld.in_scale, Ld.in_zp):
+            continue
+        if plan.get(dw.name) != (Lp.in_scale, Lp.in_zp):
+            continue
+        xname = node.inputs[0]
+        if plan.get(xname) is None or pj.name in graph.outputs:
+            continue
+        info = {
+            "dw": dw.name, "pj": pj.name,
+            "skip": skips + [r1.name, dw.name, r2.name],
+            "act1_hi": act_hi[r1.op], "act2_hi": act_hi[r2.op],
+            "x": xname, "res": None, "p_grid": None, "final": pj.name,
+            "out_grid": plan.get(pj.name),
+        }
+        skips2: List[str] = []
+        add = walk(pj.name, skips2)
+        p_alias = skips2[-1] if skips2 else pj.name
+        if (
+            add is not None and add.op == "add"
+            and xname in add.inputs and p_alias in add.inputs
+            and add.name not in graph.outputs
+            and pa["out_ch"] == a["in_ch"]
+        ):
+            xi = add.inputs.index(xname)
+            sp_x = _site_params(model, f"{add.name}:in{xi}")
+            sp_p = _site_params(model, f"{add.name}:in{1 - xi}")
+            if (
+                sp_x is not None and sp_p is not None
+                and plan.get(pj.name) == sp_p
+            ):
+                info.update(
+                    res=sp_x, p_grid=sp_p, final=add.name,
+                    out_grid=plan.get(add.name),
+                )
+                info["skip"] += [pj.name] + skips2
+        blocks[node.name] = info
+    return blocks
+
+
 def execute_int8_fused(
     model: Int8Model,
     params_f32,
     x: jnp.ndarray,
     use_pallas: bool = False,
     stem_s2d: bool = True,
+    fuse_blocks: bool = False,
 ):
     """``use_pallas=True`` routes pointwise convs / linear layers through
     the Pallas int8 matmul kernel and stride-1 depthwise 3x3 convs
@@ -145,6 +247,8 @@ def execute_int8_fused(
     substrate for further fusion work."""
     graph = model.graph
     plan = _consumer_plan(graph, model)
+    fused = _find_fusable_blocks(graph, model, plan) if fuse_blocks else {}
+    done: set = set()
     env: Dict[str, Any] = {}
 
     def get_f32(name: str) -> jnp.ndarray:
@@ -173,6 +277,54 @@ def execute_int8_fused(
         if op == "input":
             continue
         name = node.name
+        if name in done:
+            continue
+        if name in fused:
+            info = fused[name]
+            v = env[info["x"]]
+            if isinstance(v, QTensor):
+                from dfq_tpu.ops.pallas_int8 import fused_block_int8
+
+                Le = model.layers[name]
+                Ld = model.layers[info["dw"]]
+                Lp = model.layers[info["pj"]]
+                E = Le.qweight.shape[0]
+                out = fused_block_int8(
+                    v.q,
+                    Le.qweight.reshape(E, -1).T,
+                    np.asarray(Le.in_scale * Le.w_scale, np.float32),
+                    Le.bias
+                    if Le.bias is not None
+                    else np.zeros(E, np.float32),
+                    Le.wsum,
+                    Ld.qweight[:, 0].reshape(E, 9).T,
+                    np.asarray(Ld.in_scale * Ld.w_scale, np.float32),
+                    Ld.bias
+                    if Ld.bias is not None
+                    else np.zeros(E, np.float32),
+                    Lp.qweight.reshape(Lp.qweight.shape[0], E).T,
+                    np.asarray(Lp.in_scale * Lp.w_scale, np.float32),
+                    Lp.bias
+                    if Lp.bias is not None
+                    else np.zeros(Lp.qweight.shape[0], np.float32),
+                    Lp.wsum,
+                    x_grid=(v.scale, v.zp),
+                    c1_grid=(Le.in_scale, Le.in_zp),
+                    e_grid=(Ld.in_scale, Ld.in_zp),
+                    d_grid=(Lp.in_scale, Lp.in_zp),
+                    act1_hi=info["act1_hi"],
+                    act2_hi=info["act2_hi"],
+                    res_grid=info["res"],
+                    p_grid=info.get("p_grid"),
+                    out_grid=info["out_grid"],
+                )
+                og = info["out_grid"]
+                env[info["final"]] = (
+                    out if og is None else QTensor(out, og[0], og[1])
+                )
+                done.update(info["skip"])
+                done.add(info["final"])
+                continue
         if op in ("conv", "linear") and name in model.layers:
             layer = model.layers[name]
             xq = get_i8(node.inputs[0], layer.in_scale, layer.in_zp)

@@ -255,3 +255,225 @@ def dw3x3_int8_requant(
     if n_h > 1:
         out = out.reshape(N, H, W, Cp)
     return out[..., :C]
+
+
+# ---------------------------------------------------------------------------
+# whole-block fusion: expand (1x1) -> dw3x3 s1 -> project (1x1) [-> residual]
+#
+# The inverted-residual block's expanded tensor (6x the block width) is
+# the dominant HBM traffic in MobileNet-family nets: the unfused engine
+# crosses HBM with it four times (expand-out write, dw-in read, dw-out
+# write, project-in read). This kernel keeps it in VMEM for a row slab,
+# so per block only the narrow input/output tensors touch HBM. The
+# residual add (and the input requants the engine would run as separate
+# elementwise passes) are folded into the same kernel. Bit-exact with
+# the unfused fused-engine path (same integer accumulation and the same
+# f32 epilogue expressions in the same order).
+
+
+def _fused_block_kernel(
+    x_ref, w1_ref, sc1_ref, b1_ref, ws1_ref,
+    wd_ref, scd_ref, bd_ref,
+    w2_ref, sc2_ref, b2_ref, ws2_ref,
+    out_ref, e_scr,
+    *, meta,
+):
+    (
+        bh, W, H, n_h,
+        s_x, zp_x, s_c1, zp_c1, s_e, zp_e, s_d, zp_d,
+        act1_hi, act2_hi,
+        res, s_r, zp_r, s_p, zp_p,
+        out_f32, s_o, zp_o,
+    ) = meta
+    Cp = x_ref.shape[-1]
+    Ep = wd_ref.shape[-1]
+
+    xq = x_ref[0]  # [bh+2, W, Cp] int8, grid (s_x, zp_x)
+
+    # requant to the expand conv's input grid (engine get_i8 semantics)
+    if (s_x, zp_x) == (s_c1, zp_c1):
+        xc = xq
+    else:
+        r = (xq.astype(jnp.float32) - zp_x) * (s_x / s_c1) + (zp_c1 + 128)
+        xc = (jnp.clip(jnp.round(r), 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+    # expand 1x1: [(bh+2)*W, Cp] x [Cp, Ep] on the MXU
+    a1 = jax.lax.dot_general(
+        xc.reshape((bh + 2) * W, Cp), w1_ref[:],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+    )
+    a1 = a1 - zp_c1 * ws1_ref[0]
+    f1 = a1.astype(jnp.float32) * sc1_ref[0] + b1_ref[0]
+    f1 = jnp.clip(f1, 0.0, act1_hi).reshape(bh + 2, W, Ep)
+    # out-of-image halo rows must dequantize to 0 so the dw sees true
+    # zero padding: f=0 quantizes to exactly zp_e
+    si = pl.program_id(0) % n_h
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, 1, 1), 0)
+    grow = si * bh + row - 1
+    f1 = jnp.where((grow >= 0) & (grow <= H - 1), f1, 0.0)
+    q1 = jnp.round(f1 / s_e) + (zp_e + 128)
+    q1 = (jnp.clip(q1, 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+    # dw input with W zero-padding in the int8 domain
+    e_scr[:, 0:1, :] = jnp.full((bh + 2, 1, Ep), zp_e, jnp.int8)
+    e_scr[:, W + 1 : W + 2, :] = jnp.full((bh + 2, 1, Ep), zp_e, jnp.int8)
+    e_scr[:, 1 : W + 1, :] = q1
+
+    acc = jnp.zeros((bh, W, Ep), jnp.int32)
+    for ky in range(3):
+        for kx in range(3):
+            tap = e_scr[ky : ky + bh, kx : kx + W, :].astype(jnp.int32) - zp_e
+            acc = acc + tap * wd_ref[ky * 3 + kx, :]
+    fd = acc.astype(jnp.float32) * scd_ref[0] + bd_ref[0]
+    fd = jnp.clip(fd, 0.0, act2_hi)
+    qd = jnp.round(fd / s_d) + (zp_d + 128)
+    qd = (jnp.clip(qd, 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+    # project 1x1: [bh*W, Ep] x [Ep, C2p]
+    C2p = w2_ref.shape[-1]
+    a2 = jax.lax.dot_general(
+        qd.reshape(bh * W, Ep), w2_ref[:],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+    )
+    a2 = a2 - zp_d * ws2_ref[0]
+    f2 = (a2.astype(jnp.float32) * sc2_ref[0] + b2_ref[0]).reshape(bh, W, C2p)
+
+    if res:
+        # engine: emit(project) quantizes to the add:in site grid, the
+        # add dequantizes both operands through their site grids
+        q2 = jnp.round(f2 / s_p) + (zp_p + 128)
+        q2 = jnp.clip(q2, 0.0, 255.0) - 128.0
+        bf = q2 * s_p - zp_p * s_p
+        if (s_x, zp_x) == (s_r, zp_r):
+            xr = xq[1 : bh + 1].astype(jnp.float32)
+        else:
+            rr = (xq[1 : bh + 1].astype(jnp.float32) - zp_x) * (
+                s_x / s_r
+            ) + (zp_r + 128)
+            xr = jnp.clip(jnp.round(rr), 0.0, 255.0) - 128.0
+        af = xr * s_r - zp_r * s_r
+        f2 = af + bf
+
+    if out_f32:
+        out_ref[0] = f2
+    else:
+        qo = jnp.round(f2 / s_o) + (zp_o + 128)
+        out_ref[0] = (jnp.clip(qo, 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+
+def fused_block_int8(
+    x: jnp.ndarray,  # [N, H, W, C] int8 in grid (s_x, zp_x)
+    w1: np.ndarray, scale1: np.ndarray, bias1: np.ndarray, wsum1: np.ndarray,
+    wd: np.ndarray, scale_d: np.ndarray, bias_d: np.ndarray,
+    w2: np.ndarray, scale2: np.ndarray, bias2: np.ndarray, wsum2: np.ndarray,
+    *,
+    x_grid: Tuple[float, int],
+    c1_grid: Tuple[float, int],
+    e_grid: Tuple[float, int],
+    d_grid: Tuple[float, int],
+    act1_hi: float,
+    act2_hi: float,
+    res_grid: Optional[Tuple[float, int]] = None,  # x's add:in site grid
+    p_grid: Optional[Tuple[float, int]] = None,  # project's add:in site grid
+    out_grid: Optional[Tuple[float, int]] = None,  # None -> f32 output
+    vmem_budget: int = 4 * 1024 * 1024,
+):
+    """Fused inverted-residual block. Weight args are host numpy:
+    ``w1 [C, E]``, ``wd [9, E]`` (HW-major taps), ``w2 [E, C2]``, all
+    int8; per-channel ``scaleX = s_in * s_w`` f32; ``wsumX`` int32."""
+    N, H, W, C = x.shape
+    E = w1.shape[1]
+    C2 = w2.shape[1]
+    Cp, Ep, C2p = (_round_up(v, 128) for v in (C, E, C2))
+    res = res_grid is not None
+    if res and C != C2:
+        raise ValueError("residual fusion requires in_ch == out_ch")
+
+    def padc(a, n, fill=0):
+        return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])])
+
+    w1p = padc(np.pad(w1, ((0, Cp - C), (0, 0))), Ep)
+    wdp = padc(wd, Ep).astype(np.int32)
+    w2p = padc(np.pad(w2, ((0, Ep - E), (0, 0))), C2p)
+    sc1, b1, ws1 = (padc(a.reshape(1, -1), Ep) for a in (scale1, bias1, wsum1))
+    scd, bd = (padc(a.reshape(1, -1), Ep) for a in (scale_d, bias_d))
+    sc2, b2, ws2 = (padc(a.reshape(1, -1), C2p) for a in (scale2, bias2, wsum2))
+
+    s_x, zp_x = x_grid
+    # halo rows are masked in-kernel, and padded channels hit zero w1
+    # rows, so the pad value only needs to be a valid int8
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (0, 0), (0, Cp - C)), constant_values=np.int8(zp_x)
+    )
+
+    # pick the largest row-slab that keeps the working set in VMEM
+    def est(bh):
+        return (
+            4 * (bh + 2) * W * Ep  # expand acc
+            + 4 * bh * W * Ep  # dw acc
+            + 2 * (bh + 2) * (W + 2) * Ep  # q1 + scratch (int8)
+            + 4 * bh * W * C2p  # project acc
+        )
+
+    bh = next(
+        d for d in range(H, 0, -1) if H % d == 0 and (est(d) <= vmem_budget or d == 1)
+    )
+    n_h = H // bh
+    if n_h > 1:
+        slabs = jnp.stack(
+            [xp[:, i * bh : i * bh + bh + 2] for i in range(n_h)], axis=1
+        )
+        xin = slabs.reshape(N * n_h, bh + 2, W, Cp)
+    else:
+        xin = xp
+    grid_n = N * n_h
+
+    meta = (
+        bh, W, H, n_h,
+        float(s_x), int(zp_x),
+        float(c1_grid[0]), int(c1_grid[1]),
+        float(e_grid[0]), int(e_grid[1]),
+        float(d_grid[0]), int(d_grid[1]),
+        float(act1_hi), float(act2_hi),
+        res,
+        float(res_grid[0]) if res else 0.0, int(res_grid[1]) if res else 0,
+        float(p_grid[0]) if res else 0.0, int(p_grid[1]) if res else 0,
+        out_grid is None,
+        float(out_grid[0]) if out_grid else 0.0,
+        int(out_grid[1]) if out_grid else 0,
+    )
+    kernel = functools.partial(_fused_block_kernel, meta=meta)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_n, bh, W, C2p), jnp.float32 if out_grid is None else jnp.int8
+        ),
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bh + 2, W, Cp), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=pl.BlockSpec(
+            (1, bh, W, C2p), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((bh + 2, W + 2, Ep), jnp.int8)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * grid_n * (bh + 2) * W * (Cp * Ep + 9 * Ep)
+            + 2 * grid_n * bh * W * Ep * C2p,
+            bytes_accessed=grid_n * (bh + 2) * W * Cp
+            + grid_n * bh * W * C2p
+            + Cp * Ep + Ep * C2p,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        xin, jnp.asarray(w1p), jnp.asarray(sc1), jnp.asarray(b1),
+        jnp.asarray(ws1), jnp.asarray(wdp), jnp.asarray(scd),
+        jnp.asarray(bd), jnp.asarray(w2p), jnp.asarray(sc2),
+        jnp.asarray(b2), jnp.asarray(ws2),
+    )
+    out = out.reshape(N, H, W, C2p)
+    return out[..., :C2]

@@ -59,3 +59,36 @@ def test_fused_matches_baseline(prepared):
     err_base = np.abs(base - fp).mean()
     err_fused = np.abs(fused - fp).mean()
     assert err_fused < err_base * 1.3, (err_base, err_fused)
+
+
+def test_fused_block_kernel_matches_engine():
+    """Whole-block Pallas fusion (expand->dw->project[->add]) must be
+    numerically indistinguishable from the unfused fused-engine path."""
+    from dfq_tpu.engine.int8_fused import _find_fusable_blocks
+
+    graph = mobilenet_v2()
+    params = init_params(graph, seed=0, bn_stats="random")
+    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    prep = prepare(graph, params, cfg)
+    model = lower_int8(prep)
+
+    plan = _consumer_plan(model.graph, model)
+    blocks = _find_fusable_blocks(model.graph, model, plan)
+    assert len(blocks) >= 8, sorted(blocks)
+    assert any(b["res"] is not None for b in blocks.values())
+    assert any(b["res"] is None for b in blocks.values())
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        np.clip(rng.normal(0, 1, (2, 64, 64, 3)), -2.117, 2.64), jnp.float32
+    )
+    ref = np.asarray(
+        jax.jit(lambda v: execute_int8_fused(model, prep.params, v))(x)
+    )
+    got = np.asarray(
+        jax.jit(
+            lambda v: execute_int8_fused(model, prep.params, v, fuse_blocks=True)
+        )(x)
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
