@@ -28,6 +28,9 @@ def get_argument():
     p.add_argument("--absorption", action="store_true")
     p.add_argument("--relu", action="store_true")
     p.add_argument("--clip_weight", action="store_true")
+    p.add_argument("--trainable", action="store_true",
+                   help="per-forward weight fake-quant regime "
+                        "(reference QuantConv2d, main_cls.py:33)")
     p.add_argument("--resnet", action="store_true")
     p.add_argument("--log", action="store_true")
     p.add_argument("--bits_weight", type=int, default=8)
@@ -100,6 +103,7 @@ def main():
         correction=args.correction,
         clip_weight=args.clip_weight,
         distill_range=args.distill_range,
+        trainable=args.trainable,
         bits_weight=args.bits_weight,
         bits_activation=args.bits_activation,
         bits_bias=args.bits_bias,
@@ -135,6 +139,8 @@ def main():
     print(f"pipeline: {time.time() - t0:.1f}s")
 
     if args.engine == "int8" and args.quantize:
+        if args.trainable:
+            raise SystemExit("--trainable is a fake-quant regime; use --engine sim")
         from dfq_tpu.engine import execute_int8, lower_int8
 
         model = lower_int8(prep)
@@ -148,6 +154,7 @@ def main():
             save_artifact(args.save_artifact, model, residual)
             print(f"artifact saved to {args.save_artifact}")
     else:
+        wb = cfg.bits_weight if (cfg.trainable and cfg.quantize) else None
         fwd = jax.jit(
             lambda x: execute(
                 prep.graph,
@@ -155,6 +162,8 @@ def main():
                 x,
                 act_ranges=prep.act_ranges,
                 bits_act=cfg.bits_activation,
+                weight_bits=wb,
+                bias_bits=cfg.bits_bias,
             )
         )
 

@@ -42,7 +42,10 @@ from dfq_tpu.quant.core import fake_quant
 class Int8Layer:
     qweight: np.ndarray  # int8, OIHW (conv) or [out, in] (linear)
     w_scale: np.ndarray  # f32 [O] per-output-channel symmetric scale
-    bias: Optional[np.ndarray]  # f32 [O] (already on the bias-bit grid)
+    # f32 [O]; snapped to the bias-bit grid when cfg.bits_bias < 32
+    # (bits_bias=32 keeps raw f32 — the ncnn Int8' regime,
+    # /root/reference/convert_ncnn.py:29)
+    bias: Optional[np.ndarray]
     wsum: np.ndarray  # int32 [O] sum of qweight over (in, spatial)
     in_scale: float
     in_zp: int  # int8-domain zero point (range [-128, 127])
@@ -88,10 +91,23 @@ def lower_int8(prepared: PreparedModel, bits_act: int = 8) -> Int8Model:
         qw, w_scale = _quantize_weight_per_channel(w, bits=8)
         wsum = qw.astype(np.int32).reshape(qw.shape[0], -1).sum(axis=1).astype(np.int32)
         bias = p.get("bias")
+        if bias is not None:
+            bias = np.asarray(bias, np.float32)
+            # bias-bit grid per the regime legend (README.md:5-8):
+            # Int8** = 16-bit bias, Int8* = 8-bit, Int8' = raw 32-bit.
+            # Same per-tensor min/max snap as quantize_layer_weights.
+            bits_bias = prepared.cfg.bits_bias
+            if bits_bias < 32 and bias.size:
+                from dfq_tpu.quant.core import fake_quant_np
+
+                bias = fake_quant_np(
+                    bias, float(bias.min()), float(bias.max()),
+                    bits=bits_bias, symmetric=prepared.cfg.signed,
+                )
         layers[node.name] = Int8Layer(
             qweight=qw,
             w_scale=w_scale,
-            bias=None if bias is None else np.asarray(bias, np.float32),
+            bias=bias,
             wsum=wsum,
             in_scale=float(in_scale),
             in_zp=in_zp,

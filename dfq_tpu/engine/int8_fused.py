@@ -282,13 +282,15 @@ def execute_int8_fused(
         if name in fused:
             info = fused[name]
             v = env[info["x"]]
-            if isinstance(v, QTensor):
-                from dfq_tpu.ops.pallas_int8 import fused_block_int8
+            from dfq_tpu.ops.pallas_int8 import fused_block_fits, fused_block_int8
 
-                Le = model.layers[name]
-                Ld = model.layers[info["dw"]]
-                Lp = model.layers[info["pj"]]
-                E = Le.qweight.shape[0]
+            Le = model.layers[name]
+            Ld = model.layers[info["dw"]]
+            Lp = model.layers[info["pj"]]
+            E = Le.qweight.shape[0]
+            if isinstance(v, QTensor) and fused_block_fits(
+                v.q.shape[1], v.q.shape[2], v.q.shape[3], E, Lp.qweight.shape[0]
+            ):
                 out = fused_block_int8(
                     v.q,
                     Le.qweight.reshape(E, -1).T,

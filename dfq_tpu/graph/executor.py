@@ -140,6 +140,8 @@ def execute(
     bits_act: int = 8,
     capture: Optional[str] = None,
     self_quant: bool = False,
+    weight_bits: Optional[int] = None,
+    bias_bits: int = 16,
 ):
     """Run the graph. Returns output (or tuple of outputs), plus an aux
     dict when ``capture`` is set.
@@ -147,6 +149,12 @@ def execute(
     ``act_ranges`` maps site key -> (min, max); any listed site's input is
     fake-quantized with ``bits_act`` bits (reference QuantMeasure eval path,
     ``utils/quantize.py:115-119``).
+
+    ``weight_bits`` enables the reference's ``--trainable`` regime
+    (``QuantConv2d.forward``, ``utils/quantize.py:220-231``): conv/linear
+    weights are fake-quantized per-forward with per-tensor min/max, and
+    biases with ``bias_bits`` (skipped at 32, mirroring the bias-grid
+    regimes) — instead of being pre-quantized in place once.
     """
     act_ranges = act_ranges or {}
     env: Dict[str, jnp.ndarray] = {}
@@ -192,6 +200,15 @@ def execute(
             ]
         p = params.get(node.name, {})
         op = node.op
+        if weight_bits is not None and op in ("conv", "linear"):
+            w = p["weight"]
+            p = dict(p)
+            p["weight"] = fake_quant(
+                w, jnp.min(w), jnp.max(w), bits=weight_bits
+            )
+            b = p.get("bias")
+            if b is not None and bias_bits < 32:
+                p["bias"] = fake_quant(b, jnp.min(b), jnp.max(b), bits=bias_bits)
         if op == "conv":
             out = _conv(ins[0], node, p)
         elif op == "linear":

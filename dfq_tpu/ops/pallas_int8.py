@@ -257,6 +257,31 @@ def dw3x3_int8_requant(
     return out[..., :C]
 
 
+def _fused_block_vmem(bh: int, W: int, Cp: int, Ep: int, C2p: int) -> int:
+    """Working-set estimate (bytes) for one fused-block program: int8
+    input slab + requanted copy, expand int32 acc + f32 f1 (live
+    together), q1 + dw scratch (int8), dw int32 acc, project int32 acc
+    + f32 f2."""
+    return (
+        2 * (bh + 2) * W * Cp  # input slab + xc requant copy (int8)
+        + 8 * (bh + 2) * W * Ep  # expand acc (int32) + f1 (f32)
+        + 2 * (bh + 2) * (W + 2) * Ep  # q1 + scratch (int8)
+        + 4 * bh * W * Ep  # dw acc (int32)
+        + 8 * bh * W * C2p  # project acc (int32) + f2 (f32)
+    )
+
+
+def fused_block_fits(
+    H: int, W: int, C: int, E: int, C2: int,
+    vmem_budget: int = 4 * 1024 * 1024,
+) -> bool:
+    """True when some row slab of the block fits the VMEM budget —
+    callers (the fused engine's block finder) should skip fusion
+    otherwise rather than hit the in-call ValueError."""
+    Cp, Ep, C2p = (_round_up(v, 128) for v in (C, E, C2))
+    return _fused_block_vmem(1, W, Cp, Ep, C2p) <= vmem_budget
+
+
 # ---------------------------------------------------------------------------
 # whole-block fusion: expand (1x1) -> dw3x3 s1 -> project (1x1) [-> residual]
 #
@@ -281,7 +306,7 @@ def _fused_block_kernel(
     (
         bh, W, H, n_h,
         s_x, zp_x, s_c1, zp_c1, s_e, zp_e, s_d, zp_d,
-        act1_hi, act2_hi,
+        act1_q, act2_q,
         res, s_r, zp_r, s_p, zp_p,
         out_f32, s_o, zp_o,
     ) = meta
@@ -304,15 +329,17 @@ def _fused_block_kernel(
     )
     a1 = a1 - zp_c1 * ws1_ref[0]
     f1 = a1.astype(jnp.float32) * sc1_ref[0] + b1_ref[0]
-    f1 = jnp.clip(f1, 0.0, act1_hi).reshape(bh + 2, W, Ep)
+    f1 = f1.reshape(bh + 2, W, Ep)
     # out-of-image halo rows must dequantize to 0 so the dw sees true
     # zero padding: f=0 quantizes to exactly zp_e
     si = pl.program_id(0) % n_h
     row = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, 1, 1), 0)
     grow = si * bh + row - 1
     f1 = jnp.where((grow >= 0) & (grow <= H - 1), f1, 0.0)
+    # act clamp in the int domain with host-f64 bounds (act1_q = quantized
+    # upper bound) — exactly the engine's relu/relu6 int8-clamp semantics
     q1 = jnp.round(f1 / s_e) + (zp_e + 128)
-    q1 = (jnp.clip(q1, 0.0, 255.0) - 128.0).astype(jnp.int8)
+    q1 = (jnp.clip(q1, zp_e + 128.0, act1_q + 128.0) - 128.0).astype(jnp.int8)
 
     # dw input with W zero-padding in the int8 domain
     e_scr[:, 0:1, :] = jnp.full((bh + 2, 1, Ep), zp_e, jnp.int8)
@@ -325,9 +352,8 @@ def _fused_block_kernel(
             tap = e_scr[ky : ky + bh, kx : kx + W, :].astype(jnp.int32) - zp_e
             acc = acc + tap * wd_ref[ky * 3 + kx, :]
     fd = acc.astype(jnp.float32) * scd_ref[0] + bd_ref[0]
-    fd = jnp.clip(fd, 0.0, act2_hi)
     qd = jnp.round(fd / s_d) + (zp_d + 128)
-    qd = (jnp.clip(qd, 0.0, 255.0) - 128.0).astype(jnp.int8)
+    qd = (jnp.clip(qd, zp_d + 128.0, act2_q + 128.0) - 128.0).astype(jnp.int8)
 
     # project 1x1: [bh*W, Ep] x [Ep, C2p]
     C2p = w2_ref.shape[-1]
@@ -388,8 +414,15 @@ def fused_block_int8(
     res = res_grid is not None
     if res and C != C2:
         raise ValueError("residual fusion requires in_ch == out_ch")
+    if res and p_grid is None:
+        raise ValueError("res_grid requires p_grid")
 
-    def padc(a, n, fill=0):
+    # int-domain activation upper bounds, computed host-side in f64 —
+    # identical to the engine's relu6 clamp (int8_fused.py relu6 branch)
+    act1_q = int(np.clip(np.round(act1_hi / e_grid[0]) + e_grid[1], -128, 127))
+    act2_q = int(np.clip(np.round(act2_hi / d_grid[0]) + d_grid[1], -128, 127))
+
+    def padc(a, n):
         return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])])
 
     w1p = padc(np.pad(w1, ((0, Cp - C), (0, 0))), Ep)
@@ -408,16 +441,14 @@ def fused_block_int8(
 
     # pick the largest row-slab that keeps the working set in VMEM
     def est(bh):
-        return (
-            4 * (bh + 2) * W * Ep  # expand acc
-            + 4 * bh * W * Ep  # dw acc
-            + 2 * (bh + 2) * (W + 2) * Ep  # q1 + scratch (int8)
-            + 4 * bh * W * C2p  # project acc
-        )
+        return _fused_block_vmem(bh, W, Cp, Ep, C2p)
 
-    bh = next(
-        d for d in range(H, 0, -1) if H % d == 0 and (est(d) <= vmem_budget or d == 1)
-    )
+    if est(1) > vmem_budget:
+        raise ValueError(
+            f"fused_block_int8: even a 1-row slab needs {est(1)} B VMEM "
+            f"(> budget {vmem_budget}); run the block unfused"
+        )
+    bh = next(d for d in range(H, 0, -1) if H % d == 0 and est(d) <= vmem_budget)
     n_h = H // bh
     if n_h > 1:
         slabs = jnp.stack(
@@ -434,7 +465,7 @@ def fused_block_int8(
         float(c1_grid[0]), int(c1_grid[1]),
         float(e_grid[0]), int(e_grid[1]),
         float(d_grid[0]), int(d_grid[1]),
-        float(act1_hi), float(act2_hi),
+        act1_q, act2_q,
         res,
         float(res_grid[0]) if res else 0.0, int(res_grid[1]) if res else 0,
         float(p_grid[0]) if res else 0.0, int(p_grid[1]) if res else 0,

@@ -38,6 +38,10 @@ class QuantConfig:
     correction: bool = False
     clip_weight: bool = False
     distill_range: bool = False  # ranges from distilled data, not BN stats
+    # reference --trainable (main_cls.py:33): weights fake-quantized
+    # per-forward (QuantConv2d, utils/quantize.py:208-233) instead of
+    # pre-quantized once; executor runs with weight_bits=bits_weight
+    trainable: bool = False
     bits_weight: int = 8
     bits_activation: int = 8
     bits_bias: int = 8
@@ -52,6 +56,10 @@ class QuantConfig:
             raise ValueError("equalization requires the ReLU6->ReLU swap (--relu)")
         if self.absorption and not self.equalize:
             raise ValueError("bias absorption requires equalization")
+        if self.trainable and self.distill_range:
+            # the reference's module_dict elif chain (main_cls.py:119-124)
+            # makes these regimes mutually exclusive
+            raise ValueError("trainable and distill_range are exclusive regimes")
 
 
 @dataclasses.dataclass
@@ -99,14 +107,18 @@ def prepare(
     params_fp = {k: dict(v) for k, v in params.items()}
     act_ranges: Dict[str, Tuple[float, float]] = {}
     if cfg.quantize:
-        params = quantize_layer_weights(
-            graph,
-            params,
-            bits_weight=cfg.bits_weight,
-            bits_bias=cfg.bits_bias,
-            signed=cfg.signed,
-            per_channel=cfg.per_channel,
-        )
+        if not cfg.trainable:
+            # trainable regime skips the one-shot weight quant
+            # (main_cls.py:180-182) — the executor fake-quants
+            # per-forward via weight_bits instead
+            params = quantize_layer_weights(
+                graph,
+                params,
+                bits_weight=cfg.bits_weight,
+                bits_bias=cfg.bits_bias,
+                signed=cfg.signed,
+                per_channel=cfg.per_channel,
+            )
         if not cfg.distill_range:
             act_ranges = set_quant_ranges(
                 graph, params, is_detection=cfg.is_detection

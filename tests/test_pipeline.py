@@ -182,3 +182,120 @@ def test_int8_conv_exactness():
         padding=1,
     ).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_array_equal(np.asarray(acc, np.float64), ref)
+
+
+def test_int8_bias_grid_semantics():
+    """lower_int8 must put biases on the cfg.bits_bias grid: snapped for
+    8/16 bit (Int8*/Int8** regimes, README.md:5-8), raw f32 passthrough
+    for 32 bit (Int8' / ncnn regime, convert_ncnn.py:29)."""
+    from dfq_tpu.graph.ir import GraphBuilder
+    from dfq_tpu.quant.core import fake_quant_np
+
+    rng = np.random.default_rng(3)
+    b = GraphBuilder()
+    xn = b.input("data")
+    b.conv("c", xn, 8, 16, (3, 3), padding=(1, 1), bias=True)
+    g = b.build(["c"])
+    p = {"c": {
+        "weight": rng.normal(0, 0.1, (16, 8, 3, 3)).astype(np.float32),
+        "bias": rng.normal(0, 0.5, 16).astype(np.float32),
+    }}
+
+    lowered = {}
+    for bits in (8, 16, 32):
+        cfg = QuantConfig(quantize=True, bits_bias=bits)
+        prep = prepare(g, p, cfg)
+        lowered[bits] = lower_int8(prep).layers["c"].bias
+
+    raw = np.asarray(prep.params_fp["c"]["bias"], np.float32)
+    # 32-bit: exact passthrough of the post-pass f32 bias
+    np.testing.assert_array_equal(lowered[32], raw)
+    # 8/16-bit: exactly the per-tensor fake-quant grid snap
+    for bits in (8, 16):
+        expect = fake_quant_np(
+            raw, float(raw.min()), float(raw.max()), bits=bits
+        )
+        np.testing.assert_array_equal(lowered[bits], expect)
+        assert not np.array_equal(lowered[bits], raw)
+    # coarser grid -> larger snap error
+    assert np.abs(lowered[8] - raw).max() > np.abs(lowered[16] - raw).max()
+
+
+def test_trainable_regime_matches_default(mnv2_setup):
+    """The --trainable regime (per-forward weight fake-quant,
+    QuantConv2d utils/quantize.py:220-231) computes the same per-tensor
+    min/max quantization as the default one-shot quantize_targ_layer.
+    Oracle: quantize the weights ONCE on-device with identical jnp ops,
+    then run without weight_bits — must match bit-exactly. (The host
+    numpy one-shot path differs by f32 rounding at grid boundaries,
+    the CPU-vs-GPU sensitivity the reference documents at
+    utils/quantize.py:18-21, so it is only checked loosely.)"""
+    from dfq_tpu.graph.executor import execute as run
+    from dfq_tpu.quant.core import fake_quant
+
+    g, p, x, _ = mnv2_setup
+    xs = x[:4]
+    cfg_t = QuantConfig(
+        quantize=True, relu=True, equalize=True, bits_bias=16, trainable=True
+    )
+    prep_t = prepare(g, p, cfg_t)
+    base = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    prep_d = prepare(g, p, base)
+    # trainable: params NOT pre-quantized
+    some_conv = next(n.name for n in prep_t.graph if n.op == "conv")
+    assert not np.array_equal(
+        prep_t.params[some_conv]["weight"], prep_d.params[some_conv]["weight"]
+    )
+
+    out_t = np.asarray(
+        jax.jit(
+            lambda pp, v: run(
+                prep_t.graph, pp, v, act_ranges=prep_t.act_ranges,
+                bits_act=8, weight_bits=8, bias_bits=16,
+            )
+        )(prep_t.params, xs)
+    )
+
+    @jax.jit
+    def quant_once(pp):
+        out = {}
+        for node in prep_t.graph:
+            if node.op not in ("conv", "linear") or node.name not in pp:
+                out[node.name] = pp.get(node.name, {})
+                continue
+            q = dict(pp[node.name])
+            w = q["weight"]
+            q["weight"] = fake_quant(w, jnp.min(w), jnp.max(w), bits=8)
+            b = q.get("bias")
+            if b is not None:
+                q["bias"] = fake_quant(b, jnp.min(b), jnp.max(b), bits=16)
+            out[node.name] = q
+        return out
+
+    p_once = quant_once(prep_t.params)
+    out_once = np.asarray(
+        jax.jit(
+            lambda pp, v: run(
+                prep_t.graph, pp, v, act_ranges=prep_t.act_ranges, bits_act=8
+            )
+        )(p_once, xs)
+    )
+    np.testing.assert_array_equal(out_t, out_once)
+
+    # loose check vs the host-quantized default regime: identical ranges,
+    # predictions agree, logits close up to grid-boundary rounding noise
+    assert prep_t.act_ranges == prep_d.act_ranges
+    out_d = np.asarray(
+        jax.jit(
+            lambda pp, v: run(
+                prep_d.graph, pp, v, act_ranges=prep_d.act_ranges, bits_act=8
+            )
+        )(prep_d.params, xs)
+    )
+    assert _agree(out_t, out_d) == 1.0
+    assert np.abs(out_t - out_d).mean() < 0.05
+
+
+def test_trainable_distill_exclusive():
+    with pytest.raises(ValueError):
+        QuantConfig(trainable=True, distill_range=True)
