@@ -1,12 +1,13 @@
-"""Throughput benchmark: true-INT8 MobileNetV2 inference on one chip.
+"""Throughput benchmark: true-INT8 MobileNetV2 (+ ResNet-18) on one chip.
 
-Prints one JSON line:
+Prints ONE JSON line to stdout:
   {"metric": ..., "value": images/sec, "unit": "img/s", "vs_baseline": R}
 
 ``vs_baseline`` is the int8 speedup over the same model executed in f32
 on the same chip (the reference publishes no throughput numbers —
 BASELINE.md — so the FP32 path on identical hardware is the comparison
-point).
+point).  A ResNet-18 line with the same schema goes to stderr (the
+driver contract is one stdout JSON line).
 
 Timing methodology: this environment reaches the TPU through a tunnel
 where ``block_until_ready`` does not actually block and a host fetch
@@ -18,20 +19,34 @@ consumes ``sum(logits)`` so nothing is sliced away), and the per-step
 time is the slope between a short and a long loop — fixed tunnel/launch
 overhead cancels. Validated at ~211 TFLOP/s on a 4096^3 bf16 matmul
 (v5e peak ~197).
+
+Compile-order note: compiling the fori-loop-wrapped model as the FIRST
+nontrivial program in a process takes ~300s (XLA autotunes the int8
+convs inside the loop context); compiling the bare forward first makes
+every subsequent compile ~9s. ``step_time`` therefore always compiles
+the bare forward once before the loop timings and reports that as the
+model's compile time.
+
+``--mesh N``: run the data-sharded int8 eval over an N-device mesh and
+report scaling (n=1 vs n=N). With one real chip this validates the
+harness on a virtual CPU mesh (pass ``--platform cpu``); on multi-chip
+hardware it measures real ICI scaling.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
 
 
 def _loop_time(fwd, x, n, repeats=2, tag=""):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
     @jax.jit
     def run(x):
         def body(i, carry):
@@ -42,11 +57,9 @@ def _loop_time(fwd, x, n, repeats=2, tag=""):
         acc, _ = lax.fori_loop(0, n, body, (jnp.float32(0), x))
         return acc
 
-    import sys, time as _t
-
-    t0 = _t.time()
+    t0 = time.time()
     jax.device_get(run(x))  # compile + first-fetch warmup
-    print(f"# compile {tag} n={n}: {_t.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# compile {tag} loop n={n}: {time.time() - t0:.1f}s", file=sys.stderr)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -56,54 +69,150 @@ def _loop_time(fwd, x, n, repeats=2, tag=""):
 
 
 def step_time(fwd, x, n_small=2, n_big=12, tag=""):
+    import jax
+
+    # bare-forward compile FIRST: primes XLA's autotuning so the loop
+    # compiles take ~9s instead of ~300s, and is the honest full-model
+    # compile-time metric.
+    t0 = time.time()
+    jax.device_get(jax.jit(fwd)(x))
+    print(f"# compile {tag} forward: {time.time() - t0:.1f}s", file=sys.stderr)
     t_small = _loop_time(fwd, x, n_small, tag=tag)
     t_big = _loop_time(fwd, x, n_big, tag=tag)
     return (t_big - t_small) / (n_big - n_small)
 
 
-def main():
-    from dfq_tpu.engine import execute_int8, lower_int8
-    from dfq_tpu.engine.int8_fused import execute_int8_fused
-    from dfq_tpu.graph.executor import execute
-    from dfq_tpu.models import init_params, mobilenet_v2
+def _prep_model(which: str):
+    from dfq_tpu.engine import lower_int8
+    from dfq_tpu.models import init_params, mobilenet_v2, resnet18
     from dfq_tpu.pipeline import QuantConfig, prepare
 
-    batch = 128
-    graph = mobilenet_v2()
+    graph = mobilenet_v2() if which == "mnv2" else resnet18()
     params = init_params(graph, seed=0, bn_stats="random")
     cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
     prep = prepare(graph, params, cfg)
-    model = lower_int8(prep)
+    return graph, params, prep, lower_int8(prep)
 
+
+def bench_model(which: str, batch: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dfq_tpu.engine import execute_int8
+    from dfq_tpu.engine.int8_fused import execute_int8_fused
+    from dfq_tpu.graph.executor import execute
+
+    graph, params, prep, model = _prep_model(which)
     x = jnp.asarray(
         np.random.default_rng(0).normal(0, 1, (batch, 224, 224, 3)),
         jnp.float32,
     )
-
     fp_graph = graph.map_ops({"relu6": "relu"})
 
     t_fused = step_time(
-        lambda v: execute_int8_fused(model, prep.params, v), x, tag="int8_fused"
+        lambda v: execute_int8_fused(model, prep.params, v), x,
+        tag=f"{which} int8_fused",
     )
-    t_int8 = step_time(lambda v: execute_int8(model, prep.params, v), x, tag="int8")
-    t_fp = step_time(lambda v: execute(fp_graph, params, v), x, tag="fp32")
-
-    import sys
-    print(f"# int8 baseline: {batch / t_int8:.0f} img/s, "
-          f"fused: {batch / t_fused:.0f} img/s, f32: {batch / t_fp:.0f} img/s",
-          file=sys.stderr)
+    t_int8 = step_time(
+        lambda v: execute_int8(model, prep.params, v), x, tag=f"{which} int8"
+    )
+    t_fp = step_time(
+        lambda v: execute(fp_graph, params, v), x, tag=f"{which} fp32"
+    )
+    print(
+        f"# {which}: int8 baseline {batch / t_int8:.0f} img/s, "
+        f"fused {batch / t_fused:.0f} img/s, f32 {batch / t_fp:.0f} img/s",
+        file=sys.stderr,
+    )
     ips_int8 = batch / min(t_fused, t_int8)
     ips_fp = batch / t_fp
-    print(
-        json.dumps(
-            {
-                "metric": "int8_images_per_sec_per_chip_mobilenetv2",
-                "value": round(ips_int8, 1),
-                "unit": "img/s",
-                "vs_baseline": round(ips_int8 / ips_fp, 3),
-            }
+    name = "mobilenetv2" if which == "mnv2" else "resnet18"
+    return {
+        "metric": f"int8_images_per_sec_per_chip_{name}",
+        "value": round(ips_int8, 1),
+        "unit": "img/s",
+        "vs_baseline": round(ips_int8 / ips_fp, 3),
+    }
+
+
+def bench_mesh(n: int, batch: int, image_size: int = 224):
+    """Data-sharded int8 eval throughput at mesh sizes 1 and n — the
+    linear-scaling instrument (BASELINE.json north star). On a virtual
+    CPU mesh this validates the harness (use a small --image-size there;
+    CPU int8 convs are slow); real numbers need real chips."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dfq_tpu.engine import execute_int8
+    from dfq_tpu.parallel.mesh import DATA_AXIS, data_mesh, replicate
+
+    avail = len(jax.devices())
+    n = min(n, avail)
+    _, _, prep, model = _prep_model("mnv2")
+
+    results = {}
+    for nd in sorted({1, n}):
+        mesh = data_mesh(nd)
+        params = replicate(mesh, prep.params)
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+        x = jax.device_put(
+            jnp.asarray(
+                np.random.default_rng(0).normal(
+                    0, 1, (batch * nd, image_size, image_size, 3)
+                ),
+                jnp.float32,
+            ),
+            data_sh,
         )
-    )
+        fwd = lambda v: execute_int8(model, params, v)
+        t = step_time(fwd, x, n_small=1, n_big=3, tag=f"mesh{nd} int8")
+        results[nd] = batch * nd / t
+        print(f"# mesh n={nd}: {results[nd]:.0f} img/s", file=sys.stderr)
+    return {
+        "metric": "int8_images_per_sec_mesh_scaling_mobilenetv2",
+        "value": round(results[n], 1),
+        "unit": "img/s",
+        "vs_baseline": round(results[n] / results[1], 3),  # scaling factor
+        "mesh": n,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", type=int, default=None,
+                    help="run the sharded-eval scaling harness on an "
+                         "N-device mesh instead of the single-chip bench")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force jax platform (cpu for the virtual mesh)")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--skip-resnet", action="store_true")
+    args = ap.parse_args()
+
+    if args.platform == "cpu" and args.mesh:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.mesh}"
+            ).strip()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.mesh:
+        out = bench_mesh(args.mesh, args.batch or 8, args.image_size)
+        print(json.dumps(out))
+        return
+
+    batch = args.batch or 128
+    if not args.skip_resnet:
+        r18 = bench_model("r18", batch)
+        print(json.dumps(r18), file=sys.stderr)  # extra metric in the tail
+    out = bench_model("mnv2", batch)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
