@@ -162,44 +162,48 @@ def matmul_int8_requant(
 # depthwise 3x3 (stride 1) + requant
 
 
-def _dw_halo_kernel(
+def _dw_flat_kernel(
     x_hbm, w_ref, scale_ref, bias_ref, out_ref, scratch, sems, *, meta
 ):
-    """One program computes a [bh, W] output row slab for one image.
+    """One program computes a [bh, W] output row slab for one image, on
+    the FLAT lane-aligned layout: each image row is a [S, 128] plane of
+    the flattened (W * Cp) channel-last vector (F = S*128).
 
-    The input stays in HBM; the (bh+2)-row halo window is DMA'd into the
-    VMEM ``scratch`` here. Pallas block specs cannot express overlapping
-    blocks, and materializing the halos host-side (the previous design)
-    costs two extra full HBM passes (slab stack + pad) — the reason the
-    old kernel measured 57 GB/s effective vs XLA's 135."""
-    zp_in, s_out_inv, zp_out, act_lo, act_hi, bh, H, W, n_h, out_f32 = meta
+    Why flat: Mosaic requires DMA slices and VMEM tiles aligned to the
+    (sublane, 128-lane) grid. An NHWC [.., W, C] layout with C=144-style
+    channel counts cannot be DMA'd ("slice shape along dimension 3 must
+    be aligned to tiling"), and the kx taps would be unaligned sublane
+    windows (pathologically slow to compile). Here everything is
+    aligned: the halo rows ride the UNTILED leading axis, and the left/
+    right taps become lane/sublane rotations (`pltpu.roll`) with the
+    row-boundary wrap masked to the zero-pad value.
+
+    The input stays in HBM; each program DMAs its (bh+2)-row halo window
+    into `scratch` — no host-side overlapping-slab stacking or padding
+    passes (the round-1 kernel's two extra full HBM trips)."""
+    (zp_in, s_out_inv, zp_out, act_lo, act_hi,
+     bh, H, n_h, S, ssh, lsh, Cp, out_f32) = meta
     n = pl.program_id(0)
     i = pl.program_id(1)
     r0 = i * bh
-    C = scratch.shape[-1]
-    # data columns live at sublane offset L (Mosaic requires DMA slice
-    # offsets tile-aligned in the sublane dim — offset 1 would fail);
-    # pad columns sit at L-1 and L+W, compute reads at L-1..L+W+1.
-    L = 8
+    F = S * 128
 
     body = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(r0, bh)],
-        scratch.at[pl.ds(1, bh), pl.ds(L, W)],
-        sems.at[0],
+        x_hbm.at[n, pl.ds(r0, bh)], scratch.at[pl.ds(1, bh)], sems.at[0]
     )
     body.start()
 
     def top_dma():
         return pltpu.make_async_copy(
             x_hbm.at[n, pl.ds(jnp.maximum(r0 - 1, 0), 1)],
-            scratch.at[pl.ds(0, 1), pl.ds(L, W)],
+            scratch.at[pl.ds(0, 1)],
             sems.at[1],
         )
 
     def bot_dma():
         return pltpu.make_async_copy(
             x_hbm.at[n, pl.ds(jnp.minimum(r0 + bh, H - 1), 1)],
-            scratch.at[pl.ds(bh + 1, 1), pl.ds(L, W)],
+            scratch.at[pl.ds(bh + 1, 1)],
             sems.at[2],
         )
 
@@ -209,7 +213,7 @@ def _dw_halo_kernel(
 
     @pl.when(i == 0)
     def _():
-        scratch[0:1, :, :] = jnp.full((1, L + W + 1, C), zp_in, jnp.int8)
+        scratch[0:1] = jnp.full((1, S, 128), zp_in, jnp.int8)
 
     @pl.when(i < n_h - 1)
     def _():
@@ -217,13 +221,7 @@ def _dw_halo_kernel(
 
     @pl.when(i == n_h - 1)
     def _():
-        scratch[bh + 1 : bh + 2, :, :] = jnp.full(
-            (1, L + W + 1, C), zp_in, jnp.int8
-        )
-
-    # zero-pad columns (left/right of the data window) in the int8 domain
-    scratch[:, L - 1 : L, :] = jnp.full((bh + 2, 1, C), zp_in, jnp.int8)
-    scratch[:, L + W : L + W + 1, :] = jnp.full((bh + 2, 1, C), zp_in, jnp.int8)
+        scratch[bh + 1 : bh + 2] = jnp.full((1, S, 128), zp_in, jnp.int8)
 
     body.wait()
 
@@ -235,20 +233,69 @@ def _dw_halo_kernel(
     def _():
         bot_dma().wait()
 
-    # slice the (tiled) W axis only 3x — unaligned sublane windows cost
-    # relayouts; the ky shifts ride the untiled leading axis for free
-    acc = jnp.zeros((bh, W, C), jnp.int32)
-    for kx in range(3):
-        col = scratch[:, L - 1 + kx : L - 1 + kx + W, :].astype(jnp.int32) - zp_in
-        for ky in range(3):
-            acc = acc + col[ky : ky + bh] * w_ref[ky * 3 + kx, :]
-    f = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+    # MAC in f32: per-tap products are < 2^14 and the 9-tap sum of
+    # C-channel int8 products stays far below 2^24, so f32 arithmetic is
+    # EXACT here and runs faster on the VPU than int32
+    q = scratch[:].astype(jnp.float32) - zp_in  # [bh+2, S, 128]
+    s_i = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, q.shape, 2)
+    p = s_i * 128 + l_i  # flat position within the image row
+
+    # left tap: value from flat position p - Cp (the w-1 column)
+    c1 = pltpu.roll(q, ssh, axis=1)
+    if lsh:
+        c1 = pltpu.roll(c1, lsh, axis=2)
+        c2 = pltpu.roll(pltpu.roll(q, ssh + 1, axis=1), lsh, axis=2)
+        qm = jnp.where(l_i >= lsh, c1, c2)
+    else:
+        qm = c1
+    qm = jnp.where(p < Cp, 0, qm)  # w == 0: zero padding
+
+    # right tap: value from p + Cp (the w+1 column). pltpu.roll requires
+    # non-negative shifts, so negative rolls use the modular equivalent.
+    d1 = pltpu.roll(q, (S - ssh) % S, axis=1)
+    if lsh:
+        d1 = pltpu.roll(d1, 128 - lsh, axis=2)
+        d2 = pltpu.roll(
+            pltpu.roll(q, (S - ssh - 1) % S, axis=1), 128 - lsh, axis=2
+        )
+        qp = jnp.where(l_i < 128 - lsh, d1, d2)
+    else:
+        qp = d1
+    qp = jnp.where(p >= F - Cp, 0, qp)  # w == W-1: zero padding
+
+    acc = jnp.zeros((bh, S, 128), jnp.float32)
+    for ky in range(3):  # ky slices ride the untiled leading axis
+        acc = acc + qm[ky : ky + bh] * w_ref[ky * 3 + 0]
+        acc = acc + q[ky : ky + bh] * w_ref[ky * 3 + 1]
+        acc = acc + qp[ky : ky + bh] * w_ref[ky * 3 + 2]
+    f = acc * scale_ref[0] + bias_ref[0]
     f = jnp.clip(f, act_lo, act_hi)
     if out_f32:
         out_ref[0, 0] = f
     else:
-        q = jnp.round(f * s_out_inv) + zp_out
-        out_ref[0, 0] = jnp.clip(q, -128.0, 127.0).astype(jnp.int8)
+        qo = jnp.round(f * s_out_inv) + zp_out
+        out_ref[0, 0] = jnp.clip(qo, -128.0, 127.0).astype(jnp.int8)
+
+
+def _dw_flat_dims(W: int, C: int) -> Tuple[int, int]:
+    """Smallest (Wp, Cp) >= (W, C) with (Wp * Cp) % 1024 == 0 — the flat
+    layout's DMA-alignment requirement (copied shapes must tile to
+    (8 sublanes, 128 lanes), i.e. S = Wp*Cp/128 must be a multiple of
+    8).  Prefers padding W (typically +14%: 56->64, 112->128, 28->32)
+    over padding C.  The W pad is semantically exact: padded columns
+    hold the zero point, which dequantizes to the true zero padding."""
+    best = None
+    for Cp in range(C, C + 128):
+        Wp = W
+        while (Wp * Cp) % 1024:
+            Wp += 1
+        cost = Wp * Cp
+        if best is None or cost < best[2]:
+            best = (Wp, Cp, cost)
+        if cost == W * C:
+            break
+    return best[0], best[1]
 
 
 @functools.partial(
@@ -270,26 +317,49 @@ def dw3x3_int8_requant(
     act_lo = {"none": -3.4e38, "relu": 0.0, "relu6": 0.0}[act]
     act_hi = {"none": 3.4e38, "relu": 3.4e38, "relu6": 6.0}[act]
 
-    # row-slab size so the working set (int32 acc + f32 epilogue dominate
-    # at ~8B/elem, plus the int8 scratch) fits VMEM
-    budget = 4 * 1024 * 1024
+    Wp, Cp = _dw_flat_dims(W, C)
+    if (Wp, Cp) != (W, C):
+        # one extra pad pass host-side (fusable into the producer's
+        # output layout); zp-filled W columns dequantize to exact zero
+        # padding, padded channels carry zero weights
+        x = jnp.pad(
+            x, ((0, 0), (0, 0), (0, Wp - W), (0, Cp - C)),
+            constant_values=np.int8(zp_in),
+        )
+        w = jnp.pad(w, ((0, 0), (0, Cp - C)))
+        scale = jnp.pad(scale, (0, Cp - C))
+        bias = jnp.pad(bias, (0, Cp - C))
+    F = Wp * Cp
+    S = F // 128
+    ssh, lsh = Cp // 128, Cp % 128
+
+    x3 = x.reshape(N, H, S, 128)  # free reshape (contiguous)
+    wf = jnp.tile(w.astype(jnp.float32), (1, Wp)).reshape(9, S, 128)
+    scale_f = jnp.tile(scale, Wp).reshape(1, S, 128)
+    bias_f = jnp.tile(bias, Wp).reshape(1, S, 128)
+
+    # row-slab size: q/qm/qp + roll temps + acc + f dominate at ~20 int32
+    # planes of F elems per bh row. Use most of VMEM — fewer, larger
+    # programs amortize the per-program DMA-wait and setup cost.
+    budget = 10 * 1024 * 1024
     bh = next(
         d
         for d in range(H, 0, -1)
-        if H % d == 0 and (d * W * C * 9 <= budget or d == 1)
+        if H % d == 0 and ((20 * d + 26) * F <= budget or d == 1)
     )
     n_h = H // bh
 
     kernel = functools.partial(
-        _dw_halo_kernel,
+        _dw_flat_kernel,
         meta=(
-            zp_in, 1.0 / s_out, zp_out, act_lo, act_hi, bh, H, W, n_h, out_f32,
+            zp_in, 1.0 / s_out, zp_out, act_lo, act_hi,
+            bh, H, n_h, S, ssh, lsh, Cp, out_f32,
         ),
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (N, n_h, bh, W, C), jnp.float32 if out_f32 else jnp.int8
+            (N, n_h, bh, S, 128), jnp.float32 if out_f32 else jnp.int8
         ),
         grid=(N, n_h),
         in_specs=[
@@ -299,21 +369,22 @@ def dw3x3_int8_requant(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, bh, W, C), lambda n, i: (n, i, 0, 0, 0),
+            (1, 1, bh, S, 128), lambda n, i: (n, i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2, 8 + W + 1, C), jnp.int8),
+            pltpu.VMEM((bh + 2, S, 128), jnp.int8),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=18 * N * H * W * C,
-            bytes_accessed=2 * N * H * W * C,
+            flops=18 * N * H * F,
+            bytes_accessed=2 * N * H * F,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x, w.astype(jnp.int32), scale.reshape(1, C), bias.reshape(1, C))
-    return out.reshape(N, H, W, C)
+    )(x3, wf, scale_f, bias_f)
+    out = out.reshape(N, H, Wp, Cp)
+    return out[:, :, :W, :C]
 
 
 def _fused_block_vmem(bh: int, W: int, Cp: int, Ep: int, C2p: int) -> int:
