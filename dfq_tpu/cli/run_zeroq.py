@@ -28,6 +28,10 @@ def get_argument():
     p.add_argument("--bits_activation", type=int, default=8)
     p.add_argument("--dis_batch_size", type=int, default=32)
     p.add_argument("--dis_num_batch", type=int, default=4)
+    p.add_argument("--dis_max_iters", type=int, default=1000,
+                   help="cap on distillation Adam steps (smoke/testing)")
+    p.add_argument("--image-size", type=int, default=224,
+                   help="distillation + smoke-eval image size")
     p.add_argument("--platform", type=str, default=None)
     return p.parse_args()
 
@@ -65,7 +69,8 @@ def main():
     # (distill_data.py:130-142 with bn_merged=False)
     dcfg = DistillConfig(
         batch_size=args.dis_batch_size, num_batch=args.dis_num_batch,
-        early_break_factor=1.0,
+        image_size=(args.image_size, args.image_size),
+        early_break_factor=1.0, max_iters=args.dis_max_iters,
     )
     batches = distill_data(graph, params, dcfg, verbose=True)
 
@@ -97,7 +102,10 @@ def main():
         print(f"Acc: {correct / max(total, 1)}")
     else:
         x = jnp.asarray(
-            np.random.default_rng(0).normal(0, 1, (8, 224, 224, 3)), jnp.float32
+            np.random.default_rng(0).normal(
+                0, 1, (8, args.image_size, args.image_size, 3)
+            ),
+            jnp.float32,
         )
         logits = np.asarray(fwd(x))
         print(f"smoke eval ok: logits {logits.shape}, "

@@ -273,3 +273,19 @@ def test_convert_main_exports_both_artifacts(tmp_path, monkeypatch, capsys):
         if p.endswith(".dfqparam")
     ]
     assert native, os.listdir(os.path.dirname(out_dir))
+
+
+def test_run_zeroq_main_smoke(monkeypatch, capsys):
+    """ZeroQ standalone pipeline smoke (reference uniform_test.py:60-96):
+    distill (capped iters) -> fold -> per-channel weight quant ->
+    distilled activation ranges -> W8A8 eval."""
+    from dfq_tpu.cli import run_zeroq
+
+    _run_cli(
+        monkeypatch, run_zeroq,
+        ["run_zeroq", "--model", "mobilenet_v2", "--image-size", "64",
+         "--dis_batch_size", "2", "--dis_num_batch", "1",
+         "--dis_max_iters", "3"],
+    )
+    out = capsys.readouterr().out
+    assert "smoke eval ok" in out and "finite=True" in out
