@@ -435,3 +435,93 @@ def test_pipeline_logits_close_to_reference(pipelines):
     # top-1 decisions should still track closely
     top3 = np.argsort(ref, -1)[:, -3:]
     assert all(ours[i].argmax() in top3[i] for i in range(len(ours)))
+
+
+# ---------------------------------------------------------------------------
+# the signed / Int8' (ncnn) regime — the convert pipeline's pass stack
+# (convert_ncnn.py:101-122: CLE and bias correction with signed=True,
+# 32-bit bias, NO one-shot weight quantization)
+
+
+@pytest.fixture(scope="module")
+def signed_pipelines(ref_modules):
+    torch, ref_quantize, ref_lt, ref_relation, ref_dfq, ref_mnv2 = ref_modules
+    from dfq_tpu.models import init_params, mobilenet_v2
+    from dfq_tpu.pipeline import QuantConfig, prepare
+
+    our_graph = mobilenet_v2()
+    params = init_params(our_graph, seed=1, bn_stats="random")
+
+    model = ref_mnv2.MobileNetV2(width_mult=1)
+    model.eval()
+    _swap_modules(torch, ref_quantize, model)
+    with torch.no_grad():
+        for node in our_graph:
+            p = params.get(node.name)
+            if not p:
+                continue
+            mod = model.get_submodule(node.name)
+            if node.op in ("conv", "linear"):
+                mod.weight.copy_(torch.from_numpy(p["weight"]))
+                if "bias" in p and mod.bias is not None:
+                    mod.bias.copy_(torch.from_numpy(p["bias"]))
+            elif node.op == "bn":
+                mod.weight.copy_(torch.from_numpy(p["gamma"]))
+                mod.bias.copy_(torch.from_numpy(p["beta"]))
+                mod.running_mean.copy_(torch.from_numpy(p["mean"]))
+                mod.running_var.copy_(torch.from_numpy(p["var"]))
+
+    graph_t, bottoms, qms = _build_ref_graph_dicts(
+        our_graph, model, torch, ref_lt, ref_quantize
+    )
+    targ = [ref_quantize.QuantNConv2d, ref_quantize.QuantNLinear]
+
+    ref_quantize.set_layer_bits(graph_t, 8, 8, 32, targ)
+    ref_lt.merge_batchnorm(model, graph_t, bottoms, targ)
+    rels_ref = ref_relation.create_relation(graph_t, bottoms, targ)
+    ref_dfq.cross_layer_equalization(
+        graph_t, rels_ref, targ, visualize_state=False,
+        converge_thres=2e-7, signed=True,
+    )
+    ref_dfq.bias_correction(graph_t, bottoms, targ, bits_weight=8, signed=True)
+    ref_lt.set_quant_minmax(graph_t, bottoms, verbose=False)
+
+    cfg = QuantConfig(
+        quantize=True, relu=True, equalize=True, correction=True,
+        bits_bias=32, signed=True,
+    )
+    prep = prepare(our_graph, params, cfg)
+    return graph_t, qms, our_graph, prep
+
+
+def test_signed_regime_weights_match(signed_pipelines):
+    graph_t, qms, our_graph, prep = signed_pipelines
+    # the convert pipeline never one-shot-quantizes weights, so compare
+    # the PRE-quantization params (prep.params_fp); only CLE-trajectory
+    # float drift separates the implementations
+    for node in our_graph:
+        if node.op not in ("conv", "linear"):
+            continue
+        w_ref = graph_t[node.name].weight.detach().numpy()
+        w_ours = prep.params_fp[node.name]["weight"]
+        diff = np.abs(w_ours - w_ref)
+        close = float(np.mean(diff <= 1e-3 * np.abs(w_ref) + 1e-5))
+        assert close >= 0.999, (node.name, close)
+
+
+def test_signed_regime_ranges_match(signed_pipelines):
+    graph_t, qms, our_graph, prep = signed_pipelines
+    checked = 0
+    for node in our_graph:
+        if node.op not in ("conv", "linear"):
+            continue
+        qm = graph_t[node.name].quant
+        lo, hi = prep.act_ranges[f"{node.name}:in0"]
+        assert lo == pytest.approx(float(qm.running_min), rel=1e-3, abs=1e-4), (
+            node.name
+        )
+        assert hi == pytest.approx(float(qm.running_max), rel=1e-3, abs=1e-4), (
+            node.name
+        )
+        checked += 1
+    assert checked >= 53
