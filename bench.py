@@ -42,7 +42,7 @@ import sys
 import time
 
 
-def _loop_time(fwd, x, n, repeats=2, tag=""):
+def _loop_time(fwd, x, n, repeats=3, tag=""):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -208,11 +208,13 @@ def main():
         return
 
     batch = args.batch or 128
+    # headline metric FIRST so a driver-side timeout cannot lose it;
+    # the ResNet-18 line goes to stderr afterwards (tail metric)
+    out = bench_model("mnv2", batch)
+    print(json.dumps(out), flush=True)
     if not args.skip_resnet:
         r18 = bench_model("r18", batch)
-        print(json.dumps(r18), file=sys.stderr)  # extra metric in the tail
-    out = bench_model("mnv2", batch)
-    print(json.dumps(out))
+        print(json.dumps(r18), file=sys.stderr)
 
 
 if __name__ == "__main__":
