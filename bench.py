@@ -20,12 +20,16 @@ time is the slope between a short and a long loop — fixed tunnel/launch
 overhead cancels. Validated at ~211 TFLOP/s on a 4096^3 bf16 matmul
 (v5e peak ~197).
 
-Compile-order note: compiling the fori-loop-wrapped model as the FIRST
-nontrivial program in a process takes ~300s (XLA autotunes the int8
-convs inside the loop context); compiling the bare forward first makes
-every subsequent compile ~9s. ``step_time`` therefore always compiles
-the bare forward once before the loop timings and reports that as the
-model's compile time.
+Compile-time note (round-3 diagnosis, ``scripts/probe_compile_r3.py``):
+the 300s "compiles" recorded in earlier rounds were never compilation —
+AOT-compiling the fused forward (``jit(f).lower(x).compile()``) takes
+~10s cold — they were the tunnel's first big host<->device transfer
+(77MB batch upload + fetch: measured 66s and 328s in two fresh
+processes). ``step_time`` therefore (a) times compiles via AOT lowering
+with no execution attached, (b) never ships the batch over the tunnel —
+inputs are generated on-device — and (c) pays the tunnel warmup once
+up-front under its own label. The persistent compilation cache
+(``.jax_cache/``) is enabled, so warm-process compiles are <1s.
 
 ``--mesh N``: run the data-sharded int8 eval over an N-device mesh and
 report scaling (n=1 vs n=N). With one real chip this validates the
@@ -42,12 +46,32 @@ import sys
 import time
 
 
-def _loop_time(fwd, x, n, repeats=3, tag=""):
+def enable_compile_cache():
+    """Persistent XLA compilation cache at the repo root: a fresh
+    process recompiling an unchanged program hits the cache in <1s
+    (validated over the axon tunnel, scripts/probe_compile_r3.py)."""
+    from dfq_tpu.utils.compile_cache import enable_compile_cache as _enable
+
+    _enable()
+
+
+def tunnel_warmup():
+    """First dispatch+fetch through the tunnel is expensive and unrelated
+    to any model; pay it once under its own label (tiny tensors so the
+    cost is session setup, not transfer volume)."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    jax.device_get(jax.jit(lambda v: v * 2.0 + 1.0)(jnp.ones((8, 8))))
+    print(f"# tunnel warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+
+
+def _compile_loop(fwd, x, n, tag=""):
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
     def run(x):
         def body(i, carry):
             acc, x = carry
@@ -58,28 +82,54 @@ def _loop_time(fwd, x, n, repeats=3, tag=""):
         return acc
 
     t0 = time.time()
-    jax.device_get(run(x))  # compile + first-fetch warmup
+    compiled = jax.jit(run).lower(x).compile()
     print(f"# compile {tag} loop n={n}: {time.time() - t0:.1f}s", file=sys.stderr)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.device_get(run(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    jax.device_get(compiled(x))  # first-execute + scalar-fetch warmup
+    return compiled
 
 
-def step_time(fwd, x, n_small=2, n_big=12, tag=""):
+def step_time(fwd, x, n_small=2, n_big=12, tag="", rounds=3):
+    """Per-step time = slope between a short and a long on-device loop.
+
+    Tunnel variance note: a single (t_small, t_big) pair is fragile — a
+    hiccup landing on one of the two measurements skews the slope by
+    far more than the +/-20% session noise (round-3 observed a 2.2x
+    outlier this way). So the two loops are timed INTERLEAVED for
+    ``rounds`` rounds, the slope computed per round, and the median
+    slope reported; the per-round spread is printed for the record."""
     import jax
 
-    # bare-forward compile FIRST: primes XLA's autotuning so the loop
-    # compiles take ~9s instead of ~300s, and is the honest full-model
-    # compile-time metric.
+    # honest full-model compile time: AOT lowering+compile, no execution
+    # or tunnel transfer attached
     t0 = time.time()
-    jax.device_get(jax.jit(fwd)(x))
+    compiled = jax.jit(fwd).lower(x).compile()
     print(f"# compile {tag} forward: {time.time() - t0:.1f}s", file=sys.stderr)
-    t_small = _loop_time(fwd, x, n_small, tag=tag)
-    t_big = _loop_time(fwd, x, n_big, tag=tag)
-    return (t_big - t_small) / (n_big - n_small)
+    t0 = time.time()
+    jax.device_get(compiled(x))
+    print(
+        f"# first execute+fetch {tag}: {time.time() - t0:.1f}s", file=sys.stderr
+    )
+    c_small = _compile_loop(fwd, x, n_small, tag=tag)
+    c_big = _compile_loop(fwd, x, n_big, tag=tag)
+
+    slopes = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        jax.device_get(c_small(x))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(c_big(x))
+        t_big = time.perf_counter() - t0
+        slopes.append((t_big - t_small) / (n_big - n_small))
+    slopes.sort()
+    med = slopes[len(slopes) // 2]
+    print(
+        f"# {tag} step-time slopes (ms): "
+        + ", ".join(f"{s * 1e3:.2f}" for s in slopes)
+        + f" -> median {med * 1e3:.2f}",
+        file=sys.stderr,
+    )
+    return med
 
 
 def _prep_model(which: str):
@@ -94,24 +144,32 @@ def _prep_model(which: str):
     return graph, params, prep, lower_int8(prep)
 
 
-def bench_model(which: str, batch: int):
+def bench_model(which: str, batch: int, dw_dense: int = 0):
     import jax.numpy as jnp
-    import numpy as np
 
     from dfq_tpu.engine import execute_int8
     from dfq_tpu.engine.int8_fused import execute_int8_fused
     from dfq_tpu.graph.executor import execute
 
+    import jax
+
     graph, params, prep, model = _prep_model(which)
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(0, 1, (batch, 224, 224, 3)),
-        jnp.float32,
-    )
+    # generate the batch ON the device: a host->device upload of the
+    # 77MB batch costs 60-330s through the tunnel and is not part of
+    # any steady-state serving path
+    x = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (batch, 224, 224, 3), jnp.float32
+        )
+    )()
     fp_graph = graph.map_ops({"relu6": "relu"})
 
     t_fused = step_time(
-        lambda v: execute_int8_fused(model, prep.params, v), x,
-        tag=f"{which} int8_fused",
+        lambda v: execute_int8_fused(
+            model, prep.params, v, dw_dense_max_ch=dw_dense
+        ),
+        x,
+        tag=f"{which} int8_fused" + (f" dwdense{dw_dense}" if dw_dense else ""),
     )
     t_int8 = step_time(
         lambda v: execute_int8(model, prep.params, v), x, tag=f"{which} int8"
@@ -167,9 +225,11 @@ def bench_mesh(n: int, batch: int, image_size: int = 224):
             data_sh,
         )
         fwd = lambda v: execute_int8(model, params, v)
-        t = step_time(fwd, x, n_small=1, n_big=3, tag=f"mesh{nd} int8")
+        t = step_time(
+            fwd, x, n_small=1, n_big=3, tag=f"mesh{nd} int8", rounds=2
+        )
         results[nd] = batch * nd / t
-        print(f"# mesh n={nd}: {results[nd]:.0f} img/s", file=sys.stderr)
+        print(f"# mesh n={nd}: {results[nd]:.2f} img/s", file=sys.stderr)
     return {
         "metric": "int8_images_per_sec_mesh_scaling_mobilenetv2",
         "value": round(results[n], 1),
@@ -189,6 +249,9 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--skip-resnet", action="store_true")
+    ap.add_argument("--dw-dense", type=int, default=0,
+                    help="fused engine: run depthwise convs with C <= N "
+                         "as dense-diagonal MXU convs (bit-exact rewrite)")
     args = ap.parse_args()
 
     if args.platform == "cpu" and args.mesh:
@@ -201,19 +264,21 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    enable_compile_cache()
 
     if args.mesh:
         out = bench_mesh(args.mesh, args.batch or 8, args.image_size)
         print(json.dumps(out))
         return
 
+    tunnel_warmup()
     batch = args.batch or 128
     # headline metric FIRST so a driver-side timeout cannot lose it;
     # the ResNet-18 line goes to stderr afterwards (tail metric)
-    out = bench_model("mnv2", batch)
+    out = bench_model("mnv2", batch, dw_dense=args.dw_dense)
     print(json.dumps(out), flush=True)
     if not args.skip_resnet:
-        r18 = bench_model("r18", batch)
+        r18 = bench_model("r18", batch, dw_dense=args.dw_dense)
         print(json.dumps(r18), file=sys.stderr)
 
 

@@ -44,6 +44,10 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from dfq_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -45,7 +45,7 @@ def get_argument():
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu); the axon plugin "
                         "overrides the JAX_PLATFORMS env var")
-    p.add_argument("--engine", choices=["sim", "int8"], default="sim",
+    p.add_argument("--engine", choices=["sim", "int8", "fused"], default="sim",
                    help="fake-quant simulation or true-int8 execution")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="torch state_dict (.pth) to load")
@@ -55,6 +55,9 @@ def get_argument():
                    help="max val images")
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--save-artifact", type=str, default=None)
+    p.add_argument("--stream", action="store_true",
+                   help="streaming eval: keep 2 batches in flight so "
+                        "host decode+transfer overlap device compute")
     p.add_argument("--signed", action="store_true",
                    help="symmetric weight quant (Int8' regime)")
     return p.parse_args()
@@ -88,6 +91,10 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from dfq_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -138,13 +145,18 @@ def main():
 
     print(f"pipeline: {time.time() - t0:.1f}s")
 
-    if args.engine == "int8" and args.quantize:
+    if args.engine in ("int8", "fused") and args.quantize:
         if args.trainable:
             raise SystemExit("--trainable is a fake-quant regime; use --engine sim")
         from dfq_tpu.engine import execute_int8, lower_int8
 
         model = lower_int8(prep)
-        fwd = jax.jit(lambda x: execute_int8(model, prep.params, x))
+        if args.engine == "fused":
+            from dfq_tpu.engine.int8_fused import execute_int8_fused
+
+            fwd = jax.jit(lambda x: execute_int8_fused(model, prep.params, x))
+        else:
+            fwd = jax.jit(lambda x: execute_int8(model, prep.params, x))
         if args.save_artifact:
             from dfq_tpu.io import save_artifact
 
@@ -170,13 +182,34 @@ def main():
     if args.data_dir:
         from dfq_tpu.data import imagenet_batches
 
+        batches = imagenet_batches(args.data_dir, args.batch_size, limit=args.limit)
         correct = total = 0
-        for imgs, labels in imagenet_batches(
-            args.data_dir, args.batch_size, limit=args.limit
-        ):
-            logits = np.asarray(fwd(jnp.asarray(imgs)))
-            correct += int((logits.argmax(-1) == labels).sum())
-            total += len(labels)
+        if args.stream:
+            # streaming dispatch: keep `depth` device steps in flight so
+            # host decode + transfer overlap device compute
+            # (parallel/stream.py documents the pattern)
+            from collections import deque
+
+            count = jax.jit(
+                lambda lg, lb: jnp.sum((jnp.argmax(lg, -1) == lb).astype(jnp.int32))
+            )
+            pending = deque()
+            for imgs, labels in batches:
+                c = count(fwd(jnp.asarray(imgs)), jnp.asarray(labels))
+                pending.append((c, len(labels)))
+                while len(pending) > 2:
+                    c0, n0 = pending.popleft()
+                    correct += int(c0)
+                    total += n0
+            while pending:
+                c0, n0 = pending.popleft()
+                correct += int(c0)
+                total += n0
+        else:
+            for imgs, labels in batches:
+                logits = np.asarray(fwd(jnp.asarray(imgs)))
+                correct += int((logits.argmax(-1) == labels).sum())
+                total += len(labels)
         acc = correct / max(total, 1)
         print(f"Acc: {acc}")
     else:

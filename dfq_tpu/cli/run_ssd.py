@@ -34,7 +34,7 @@ def get_argument():
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu); the axon plugin "
                         "overrides the JAX_PLATFORMS env var")
-    p.add_argument("--engine", choices=["sim", "int8"], default="sim")
+    p.add_argument("--engine", choices=["sim", "int8", "fused"], default="sim")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--data-dir", type=str, default=None,
                    help="VOC root (Annotations/JPEGImages/ImageSets)")
@@ -117,6 +117,10 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from dfq_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -162,11 +166,16 @@ def main():
         )
     print(f"pipeline: {time.time() - t0:.1f}s")
 
-    if args.engine == "int8" and args.quantize:
+    if args.engine in ("int8", "fused") and args.quantize:
         from dfq_tpu.engine import execute_int8, lower_int8
 
         model = lower_int8(prep)
-        fwd = jax.jit(lambda x: execute_int8(model, prep.params, x))
+        if args.engine == "fused":
+            from dfq_tpu.engine.int8_fused import execute_int8_fused
+
+            fwd = jax.jit(lambda x: execute_int8_fused(model, prep.params, x))
+        else:
+            fwd = jax.jit(lambda x: execute_int8(model, prep.params, x))
     else:
         fwd = jax.jit(
             lambda x: execute(

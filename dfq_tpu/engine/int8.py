@@ -69,9 +69,25 @@ def _quantize_weight_per_channel(w: np.ndarray, bits: int = 8):
     return q.astype(np.int8), scale
 
 
-def lower_int8(prepared: PreparedModel, bits_act: int = 8) -> Int8Model:
+def lower_int8(prepared: PreparedModel, bits_act: Optional[int] = None) -> Int8Model:
     graph = prepared.graph
     params = prepared.params_fp or prepared.params
+    # regime bit-widths come from the config (the reference's
+    # set_layer_bits semantics, utils/quantize.py:359-372): W<bits_weight>
+    # per-channel weights, A<bits_activation> activations. Weights wider
+    # than 8 bits cannot ride the MXU int8 path.
+    bits_w = prepared.cfg.bits_weight
+    if bits_w > 8:
+        raise ValueError(
+            f"true-int8 engine supports bits_weight <= 8, got {bits_w}; "
+            "use the fake-quant simulator for wider regimes"
+        )
+    if bits_act is None:
+        bits_act = prepared.cfg.bits_activation
+    if bits_act > 8:
+        raise ValueError(
+            f"true-int8 engine supports bits_activation <= 8, got {bits_act}"
+        )
     layers: Dict[str, Int8Layer] = {}
     for node in graph:
         if node.op not in ("conv", "linear"):
@@ -88,7 +104,7 @@ def lower_int8(prepared: PreparedModel, bits_act: int = 8) -> Int8Model:
 
         p = params[node.name]
         w = np.asarray(p["weight"], np.float32)
-        qw, w_scale = _quantize_weight_per_channel(w, bits=8)
+        qw, w_scale = _quantize_weight_per_channel(w, bits=bits_w)
         wsum = qw.astype(np.int32).reshape(qw.shape[0], -1).sum(axis=1).astype(np.int32)
         bias = p.get("bias")
         if bias is not None:
@@ -120,10 +136,12 @@ def lower_int8(prepared: PreparedModel, bits_act: int = 8) -> Int8Model:
     )
 
 
-def _quantize_act(x, layer: Int8Layer):
-    """f32 -> int8 with the layer's input qparams."""
+def _quantize_act(x, layer: Int8Layer, qmax: float = 255.0):
+    """f32 -> int8 with the layer's input qparams. ``qmax`` is the
+    activation grid's unsigned max (2^bits - 1); narrower regimes still
+    ride the int8 MXU path, just on a coarser grid."""
     q = jnp.round(x / layer.in_scale) + (layer.in_zp + 128)
-    q = jnp.clip(q, 0.0, 255.0) - 128.0
+    q = jnp.clip(q, 0.0, qmax) - 128.0
     return q.astype(jnp.int8)
 
 
@@ -170,11 +188,23 @@ def execute_int8(model: Int8Model, params_f32, x: jnp.ndarray):
     for node in graph:
         if node.op == "input":
             continue
+        env[node.name] = _run_node(node, model, params_f32, env, site_fq)
+
+    outs = tuple(env[o] for o in graph.outputs)
+    return outs[0] if len(outs) == 1 else outs
+
+
+def _run_node(node, model, params_f32, env, site_fq):
+    with jax.named_scope(node.name):
+        return _run_node_inner(node, model, params_f32, env, site_fq)
+
+
+def _run_node_inner(node, model, params_f32, env, site_fq):
         ins = [env[i] for i in node.inputs]
         op = node.op
         if op in ("conv", "linear") and node.name in model.layers:
             layer = model.layers[node.name]
-            xq = _quantize_act(ins[0], layer)
+            xq = _quantize_act(ins[0], layer, qmax=2.0**model.bits_act - 1.0)
             if op == "conv":
                 qw = jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
                 acc = _int8_conv(xq, node, qw, layer.in_zp)
@@ -233,7 +263,4 @@ def execute_int8(model: Int8Model, params_f32, x: jnp.ndarray):
             out = v.reshape((v.shape[0],) + tuple(node.attrs["shape"]))
         else:
             raise NotImplementedError(f"int8 engine: op {op!r}")
-        env[node.name] = out
-
-    outs = tuple(env[o] for o in graph.outputs)
-    return outs[0] if len(outs) == 1 else outs
+        return out

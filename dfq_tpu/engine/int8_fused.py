@@ -231,6 +231,19 @@ def _find_fusable_blocks(graph: Graph, model: Int8Model, plan):
     return blocks
 
 
+def _dense_diag_weights(qw: np.ndarray) -> np.ndarray:
+    """Depthwise OIHW [C,1,kh,kw] int8 -> dense [C,C,kh,kw] with the taps
+    on the diagonal: dw3x3(x, w) == conv3x3(x, W), bit-exact (same int8
+    taps, zeros elsewhere; colsum/wsum unchanged). Trades 9*C x the MACs
+    for running on the MXU instead of the VPU's 9-tap shifted path —
+    profitable for small C where the VPU tap structure, not HBM, is the
+    bound (PERFORMANCE.md 'depthwise story')."""
+    c, _, kh, kw = qw.shape
+    w = np.zeros((c, c, kh, kw), np.int8)
+    w[np.arange(c), np.arange(c)] = qw[:, 0]
+    return w
+
+
 def execute_int8_fused(
     model: Int8Model,
     params_f32,
@@ -238,13 +251,26 @@ def execute_int8_fused(
     use_pallas: bool = False,
     stem_s2d: bool = True,
     fuse_blocks: bool = False,
+    dw_dense_max_ch: int = 0,
 ):
     """``use_pallas=True`` routes pointwise convs / linear layers through
     the Pallas int8 matmul kernel and stride-1 depthwise 3x3 convs
     through the Pallas depthwise kernel (``dfq_tpu/ops/pallas_int8.py``);
     the default XLA path is currently faster end-to-end on v5e (XLA's
     int8 convs hit ~276 TOPS kernel-level) but the kernels are the
-    substrate for further fusion work."""
+    substrate for further fusion work.
+
+    ``dw_dense_max_ch``: depthwise convs with C <= this threshold run as
+    dense-diagonal convs on the MXU instead of grouped convs on the VPU
+    (bit-exact rewrite, see :func:`_dense_diag_weights`); 0 disables."""
+    if model.bits_act != 8:
+        # the fused epilogues clamp on the 8-bit grid; narrow-activation
+        # regimes (A4/A6) run through the baseline engine, which threads
+        # the grid width everywhere
+        raise ValueError(
+            "fused int8 engine requires bits_act=8; use execute_int8 "
+            f"for A{model.bits_act} regimes"
+        )
     graph = model.graph
     plan = _consumer_plan(graph, model)
     fused = _find_fusable_blocks(graph, model, plan) if fuse_blocks else {}
@@ -272,13 +298,13 @@ def execute_int8_fused(
     input_names = graph.input_names()
     env[input_names[0]] = x
 
-    for node in graph:
+    def _exec_node(node):
         op = node.op
         if op == "input":
-            continue
+            return
         name = node.name
         if name in done:
-            continue
+            return
         if name in fused:
             info = fused[name]
             v = env[info["x"]]
@@ -326,7 +352,7 @@ def execute_int8_fused(
                 )
                 done.update(info["skip"])
                 done.add(info["final"])
-                continue
+                return
         if op in ("conv", "linear") and name in model.layers:
             layer = model.layers[name]
             xq = get_i8(node.inputs[0], layer.in_scale, layer.in_zp)
@@ -359,7 +385,7 @@ def execute_int8_fused(
                 if layer.bias is not None:
                     out = out + layer.bias
                 emit(name, out)
-                continue
+                return
 
             is_pw = (
                 op == "conv"
@@ -416,11 +442,25 @@ def execute_int8_fused(
                     env[name] = q
                 else:
                     env[name] = QTensor(q, sp[0], sp[1])
-                continue
+                return
 
             if op == "conv":
-                qw = jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
-                acc = _int8_conv(xq, node, qw, layer.in_zp)
+                a = node.attrs
+                if (
+                    a["groups"] > 1
+                    and a["groups"] == a["in_ch"] == layer.qweight.shape[0]
+                    and a["in_ch"] <= dw_dense_max_ch
+                ):
+                    # dw-on-MXU: dense-diagonal rewrite (bit-exact)
+                    qw = jnp.transpose(
+                        jnp.asarray(_dense_diag_weights(layer.qweight)),
+                        (2, 3, 1, 0),
+                    )
+                    node_d = node.replace(attrs={**node.attrs, "groups": 1})
+                    acc = _int8_conv(xq, node_d, qw, layer.in_zp)
+                else:
+                    qw = jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
+                    acc = _int8_conv(xq, node, qw, layer.in_zp)
             else:
                 acc = lax.dot_general(
                     xq, jnp.asarray(layer.qweight).T,
@@ -539,6 +579,15 @@ def execute_int8_fused(
             else:
                 raise NotImplementedError(f"fused int8 engine: op {op!r}")
             emit(name, out)
+
+
+    for node in graph:
+        if node.op == "input" or node.name in done:
+            continue
+        # named scope labels every HLO with its graph-node for
+        # per-layer attribution in device traces (utils/profiling)
+        with jax.named_scope(node.name):
+            _exec_node(node)
 
     outs: List[jnp.ndarray] = []
     for o in graph.outputs:

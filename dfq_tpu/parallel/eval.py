@@ -3,7 +3,10 @@
 Replaces the reference's single-GPU eval loop (``main_cls.py:44-69``)
 with a mesh-sharded jit: batch split over the ``data`` axis, params
 replicated, per-device top-1 counters reduced by GSPMD-inserted psum
-over ICI.
+over ICI. All three execution paths shard the same way — the fake-quant
+simulator, the baseline true-int8 engine, and the fused int8-to-int8
+engine — because each is a pure jittable function of (params, x); GSPMD
+partitions the int8 convs exactly like the f32 ones.
 """
 
 from __future__ import annotations
@@ -19,6 +22,59 @@ from dfq_tpu.graph.ir import Graph
 from dfq_tpu.parallel.mesh import DATA_AXIS
 
 
+def make_sharded_forward(
+    graph: Graph,
+    params,
+    mesh: Mesh,
+    *,
+    act_ranges: Optional[Dict[str, Tuple[float, float]]] = None,
+    bits_act: int = 8,
+    int8_model=None,
+    engine: Optional[str] = None,
+):
+    """Returns ``fwd(x) -> logits`` jitted over the mesh, x sharded on the
+    data axis. ``engine`` selects the path: "sim" (fake-quant executor),
+    "int8" (baseline true-int8), "fused" (int8-to-int8); default "int8"
+    when an ``int8_model`` is supplied, else "sim"."""
+    if engine is None:
+        engine = "int8" if int8_model is not None else "sim"
+    if engine in ("int8", "fused") and int8_model is None:
+        raise ValueError(f"engine={engine!r} requires int8_model")
+
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    params = jax.device_put(params, rep)
+
+    if engine == "int8":
+        from dfq_tpu.engine.int8 import execute_int8
+
+        def fwd(p, x):
+            return execute_int8(int8_model, p, x)
+
+    elif engine == "fused":
+        from dfq_tpu.engine.int8_fused import execute_int8_fused
+
+        def fwd(p, x):
+            return execute_int8_fused(int8_model, p, x)
+
+    elif engine == "sim":
+
+        def fwd(p, x):
+            return execute(
+                graph, p, x, act_ranges=act_ranges or {}, bits_act=bits_act
+            )
+
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    jfwd = jax.jit(fwd)
+
+    def run(x):
+        return jfwd(params, jax.device_put(x, data_sh))
+
+    return run
+
+
 def make_sharded_eval(
     graph: Graph,
     params,
@@ -27,38 +83,29 @@ def make_sharded_eval(
     act_ranges: Optional[Dict[str, Tuple[float, float]]] = None,
     bits_act: int = 8,
     int8_model=None,
+    engine: Optional[str] = None,
 ):
     """Returns ``step(x, labels) -> (n_correct, n_total)`` with x sharded
-    over the data axis. If ``int8_model`` is given, runs the true-int8
-    engine instead of the fake-quant simulator."""
+    over the data axis. See :func:`make_sharded_forward` for engine
+    selection."""
+    if engine is None:
+        engine = "int8" if int8_model is not None else "sim"
+    fwd = make_sharded_forward(
+        graph, params, mesh,
+        act_ranges=act_ranges, bits_act=bits_act,
+        int8_model=int8_model, engine=engine,
+    )
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
-    rep = NamedSharding(mesh, P())
-    params = jax.device_put(params, rep)
-
-    if int8_model is not None:
-        from dfq_tpu.engine.int8 import execute_int8
-
-        def fwd(p, x):
-            return execute_int8(int8_model, p, x)
-
-    else:
-
-        def fwd(p, x):
-            return execute(
-                graph, p, x, act_ranges=act_ranges or {}, bits_act=bits_act
-            )
 
     @jax.jit
-    def step(p, x, labels):
-        logits = fwd(p, x)
+    def count(logits, labels):
         pred = jnp.argmax(logits, axis=-1)
         correct = jnp.sum((pred == labels).astype(jnp.int32))
         return correct, labels.shape[0]
 
     def run(x, labels):
-        x = jax.device_put(x, data_sh)
-        labels = jax.device_put(labels, data_sh)
-        correct, total = step(params, x, labels)
+        logits = fwd(x)
+        correct, total = count(logits, jax.device_put(labels, data_sh))
         return int(correct), int(total)
 
     return run

@@ -1,0 +1,79 @@
+"""Streaming host-fed evaluation: batches continuously dispatched.
+
+The reference's eval loop is strictly synchronous — DataLoader workers
+produce a batch, the GPU consumes it, repeat (``main_cls.py:46-69``).
+The TPU-native shape of the same pipeline: JAX dispatch is async, so the
+host thread keeps ``depth`` batches in flight — while the device chews
+batch *i*, the host is already decoding batch *i+1* (prefetch threads in
+``data/imagenet.py``) and transferring it (``device_put`` is
+non-blocking); per-batch counter fetches are deferred behind the same
+window so the device never waits on the host round-trip.
+
+Note on measuring this through the axon tunnel: a single 77MB batch
+upload costs 60-330s here (PERFORMANCE.md round-3 compile-time
+diagnosis), so an end-to-end tunnel number reflects the tunnel, not the
+architecture; on directly-attached TPU hosts the PCIe/ICI transfer of a
+batch is sub-millisecond and this pipeline hides it entirely.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dfq_tpu.graph.ir import Graph
+from dfq_tpu.parallel.eval import make_sharded_forward
+from dfq_tpu.parallel.mesh import DATA_AXIS
+
+
+def make_streaming_eval(
+    graph: Graph,
+    params,
+    mesh: Mesh,
+    *,
+    act_ranges=None,
+    bits_act: int = 8,
+    int8_model=None,
+    engine: Optional[str] = None,
+    depth: int = 2,
+):
+    """Returns ``run(batches) -> (n_correct, n_total)`` where ``batches``
+    yields host ``(images NHWC f32, labels i32)`` pairs. Keeps ``depth``
+    device steps in flight; counters are fetched ``depth`` batches late
+    so host RTT overlaps device compute."""
+    fwd = make_sharded_forward(
+        graph, params, mesh,
+        act_ranges=act_ranges, bits_act=bits_act,
+        int8_model=int8_model, engine=engine,
+    )
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    @jax.jit
+    def count(logits, labels):
+        pred = jnp.argmax(logits, axis=-1)
+        return jnp.sum((pred == labels).astype(jnp.int32))
+
+    def run(batches: Iterable[Tuple]) -> Tuple[int, int]:
+        correct = 0
+        total = 0
+        pending: deque = deque()
+        for x, labels in batches:
+            n = int(x.shape[0])
+            ld = jax.device_put(jnp.asarray(labels), data_sh)
+            c = count(fwd(x), ld)  # async dispatch; nothing fetched yet
+            pending.append((c, n))
+            while len(pending) > depth:
+                c0, n0 = pending.popleft()
+                correct += int(c0)
+                total += n0
+        while pending:
+            c0, n0 = pending.popleft()
+            correct += int(c0)
+            total += n0
+        return correct, total
+
+    return run

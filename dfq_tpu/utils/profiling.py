@@ -118,6 +118,25 @@ def layer_costs(
     return out
 
 
+# Calibrated rates measured on the real v5e chip (round 3; PERFORMANCE.md
+# "honest roofline"):
+#  - int8 matmul-shaped work sustains ~70% of the 394 TOPS int8 peak
+#    (276 TOPS measured kernel-level);
+#  - depthwise: round-2's "~110 GB/s structural VPU bound" was REFUTED —
+#    that microbenchmark cast f32->int8 inside its timed loop (~5
+#    bytes/elem real traffic counted as 2), understating the rate ~2.5x.
+#    Real device traces show the whole fused MNV2 graph (dw included)
+#    sustaining 100-430 GB/s effective per conv fusion, and the model
+#    end-to-end runs FASTER than a 110 GB/s-dw bound would allow. No
+#    defensible dw-specific structural rate below HBM peak survives
+#    measurement, so the per-layer bound uses peak HBM for memory terms;
+#    the measured gap to it is attributed per-shape in PERFORMANCE.md.
+V5E_MEASURED = {
+    "dw_eff_bytes": 819e9,   # B/s — see note above; override to model
+    "mxu_int8_eff": 276e12,  # OPS, measured int8 matmul rate
+}
+
+
 def roofline_report(
     graph: Graph,
     batch: int,
@@ -125,25 +144,73 @@ def roofline_report(
     peaks: Optional[Dict[str, float]] = None,
     act_bytes: int = 1,
     measured_time_s: Optional[float] = None,
+    measured_rates: Optional[Dict[str, float]] = None,
 ) -> Dict:
+    """Per-layer speed-of-light: ``sum_l max(t_compute_l, t_memory_l)``.
+
+    The aggregate form ``max(sum flops, sum bytes)`` used through round 2
+    is NOT a valid bound for a mixed model: it lets a compute-bound
+    pointwise conv hide behind a bandwidth-bound depthwise conv that
+    cannot run concurrently with it. The per-layer sum is the honest
+    sequential bound; both are reported (``t_sol_s`` per-layer,
+    ``t_sol_aggregate_s`` the old optimistic number) so the gap between
+    them is visible.
+
+    Depthwise layers additionally use the *calibrated structural* rate
+    (``V5E_MEASURED['dw_eff_bytes']``): on v5e they are VPU-tap-bound at
+    ~110 GB/s effective, not HBM-bound at 819 GB/s, and a bound the
+    hardware cannot reach is not a yardstick. Pass ``measured_rates``
+    to override either calibration.
+    """
     peaks = peaks or V5E_PEAKS
+    rates = dict(V5E_MEASURED)
+    if measured_rates:
+        rates.update(measured_rates)
     costs = layer_costs(graph, batch, input_size, act_bytes=act_bytes)
     total_flops = sum(c["flops"] for c in costs)
     total_bytes = sum(c["bytes"] for c in costs)
+
+    t_layer_sum = 0.0
+    t_layer_sum_peak = 0.0
+    for c in costs:
+        t_c = c["flops"] / peaks["int8_ops"]
+        t_m = c["bytes"] / peaks["hbm_bytes"]
+        t_peak = max(t_c, t_m)
+        if c["kind"] == "dw":
+            # structural VPU bound, calibrated from XLA's measured rate
+            t = max(c["flops"] / peaks["int8_ops"], c["bytes"] / rates["dw_eff_bytes"])
+        else:
+            t = max(c["flops"] / rates["mxu_int8_eff"], t_m)
+        c["t_sol_s"] = t
+        c["t_peak_s"] = t_peak
+        c["bound"] = (
+            "dw-vpu" if c["kind"] == "dw" and t > t_peak
+            else ("compute" if t_c > t_m else "memory")
+        )
+        t_layer_sum += t
+        t_layer_sum_peak += t_peak
+
     t_compute = total_flops / peaks["int8_ops"]
     t_memory = total_bytes / peaks["hbm_bytes"]
-    t_sol = max(t_compute, t_memory)
+    t_aggregate = max(t_compute, t_memory)
     report = {
         "total_flops": total_flops,
         "total_bytes": total_bytes,
         "t_compute_s": t_compute,
         "t_memory_s": t_memory,
-        "t_sol_s": t_sol,
-        "sol_images_per_s": batch / t_sol,
+        # honest per-layer sequential bound with calibrated dw/mxu rates
+        "t_sol_s": t_layer_sum,
+        "sol_images_per_s": batch / t_layer_sum,
+        # per-layer sum at theoretical peaks (no calibration)
+        "t_sol_peak_s": t_layer_sum_peak,
+        "sol_peak_images_per_s": batch / t_layer_sum_peak,
+        # the (invalid for mixed models) aggregate bound, kept visible
+        "t_sol_aggregate_s": t_aggregate,
+        "sol_aggregate_images_per_s": batch / t_aggregate,
         "bound": "compute" if t_compute > t_memory else "memory",
         "layers": costs,
     }
     if measured_time_s is not None:
         report["measured_s"] = measured_time_s
-        report["sol_fraction"] = t_sol / measured_time_s
+        report["sol_fraction"] = t_layer_sum / measured_time_s
     return report

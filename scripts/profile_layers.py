@@ -1,0 +1,205 @@
+"""Per-layer device-time attribution from a real xprof trace.
+
+The engines label every node's ops with ``jax.named_scope(node.name)``,
+so a device trace attributes each HLO (including fusions) to a graph
+node. This script traces the fused int8 MNV2 forward on the real chip,
+parses the xplane protobuf directly (``xprof.protobuf.xplane_pb2`` is in
+the image; no TensorBoard needed), and prints:
+
+  - per-node device time (ms per step),
+  - per-kind aggregation (dw / pw / conv / other),
+  - per-dw-layer effective GB/s (2*N*H*W*C int8 bytes / time) — the
+    calibration data for the honest per-layer roofline
+    (``utils/profiling.roofline_report``).
+
+Usage: python scripts/profile_layers.py [--steps 8] [--dw-dense N]
+"""
+
+import argparse
+import collections
+import glob
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+if "--no-cache" not in sys.argv:
+    # NOTE: the persistent cache key ignores metadata-only changes, so a
+    # trace after adding/altering named scopes needs --no-cache once to
+    # get an executable whose op_name metadata matches the source
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_xplane(logdir):
+    """Return {plane_name: [(event_name, scope_stat_or_None, dur_ps, occurrences)]}."""
+    try:
+        from xprof.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane under {logdir}"
+    out = {}
+    for path in paths:
+        xspace = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xspace.ParseFromString(f.read())
+        for plane in xspace.planes:
+            evs = []
+            meta = plane.event_metadata
+            stat_meta = plane.stat_metadata
+            for line in plane.lines:
+                for ev in line.events:
+                    md = meta[ev.metadata_id]
+                    scope = None
+                    for st in list(ev.stats) + list(md.stats):
+                        sname = stat_meta[st.metadata_id].name
+                        if sname in ("tf_op", "hlo_op", "name", "long_name"):
+                            val = st.str_value or stat_meta.get(
+                                st.ref_value, xplane_pb2.XStatMetadata()
+                            ).name
+                            if val:
+                                scope = (sname, val)
+                                break
+                    evs.append((md.name, scope, ev.duration_ps, line.name))
+            out.setdefault(plane.name, []).extend(evs)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--dw-dense", type=int, default=0)
+    ap.add_argument("--dump-raw", action="store_true")
+    ap.add_argument("--no-cache", action="store_true")
+    args = ap.parse_args()
+
+    from dfq_tpu.engine import lower_int8
+    from dfq_tpu.engine.int8_fused import execute_int8_fused
+    from dfq_tpu.models import init_params, mobilenet_v2
+    from dfq_tpu.pipeline import QuantConfig, prepare
+    from dfq_tpu.utils.profiling import layer_costs
+
+    graph = mobilenet_v2()
+    params = init_params(graph, seed=0, bn_stats="random")
+    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    prep = prepare(graph, params, cfg)
+    model = lower_int8(prep)
+    batch = args.batch
+    x = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (batch, 224, 224, 3), jnp.float32
+        )
+    )()
+
+    fwd = jax.jit(
+        lambda v: execute_int8_fused(
+            model, prep.params, v, dw_dense_max_ch=args.dw_dense
+        )
+    )
+    t0 = time.time()
+    compiled = fwd.lower(x).compile()
+    print(f"# compile: {time.time() - t0:.1f}s", file=sys.stderr)
+    jax.device_get(compiled(x))  # warm + tunnel
+
+    logdir = tempfile.mkdtemp(prefix="dfq_prof_")
+    with jax.profiler.trace(logdir):
+        for _ in range(args.steps):
+            out = compiled(x)
+        jax.device_get(out)
+    print(f"# trace captured to {logdir}", file=sys.stderr)
+
+    planes = parse_xplane(logdir)
+    for pname, evs in planes.items():
+        print(f"# plane {pname!r}: {len(evs)} events", file=sys.stderr)
+
+    # device plane: the one with TPU in the name and XLA op events
+    dev = None
+    for pname in planes:
+        if "TPU" in pname or "tpu" in pname.lower():
+            dev = pname
+            break
+    if dev is None:
+        print(json.dumps({"error": "no TPU plane", "planes": list(planes)}))
+        return
+    evs = planes[dev]
+
+    if args.dump_raw:
+        seen = set()
+        for name, scope, dur, line in evs[:4000]:
+            key = (name, scope, line)
+            if key in seen:
+                continue
+            seen.add(key)
+            print(f"RAW {line} | {name} | {scope} | {dur}", file=sys.stderr)
+
+    # per-node aggregation: the named scope appears in the event name or
+    # the tf_op/long_name stat as ".../<node-name>/..."
+    node_names = sorted((n.name for n in graph), key=len, reverse=True)
+    pat = re.compile(
+        "(" + "|".join(re.escape(n) for n in node_names) + ")"
+    )
+    per_node = collections.Counter()
+    unattributed = collections.Counter()
+    total = 0
+    for name, scope, dur, line in evs:
+        if line not in ("XLA Ops", "XLA Modules", "Steps") and "XLA" not in line:
+            # only count op-level lines; fall through if naming differs
+            pass
+        if line == "XLA Modules":
+            continue
+        text = name
+        if scope is not None:
+            text = f"{name} {scope[1]}"
+        m = pat.search(text)
+        total += dur
+        if m:
+            per_node[m.group(1)] += dur
+        else:
+            unattributed[name.split(".")[0]] += dur
+
+    steps = args.steps
+    rows = []
+    costs = {c["name"]: c for c in layer_costs(graph, batch, 224)}
+    for node, dur in per_node.most_common():
+        ms = dur / 1e12 * 1e3 / steps
+        row = {"node": node, "ms": round(ms, 4)}
+        c = costs.get(node)
+        if c:
+            row["kind"] = c["kind"]
+            row["eff_gbps"] = round(c["bytes"] / (ms / 1e3) / 1e9, 1)
+            row["eff_tops"] = round(c["flops"] / (ms / 1e3) / 1e12, 1)
+        rows.append(row)
+
+    kinds = collections.Counter()
+    for r in rows:
+        kinds[r.get("kind", "other")] += r["ms"]
+    print(json.dumps({
+        "dw_dense_max_ch": args.dw_dense,
+        "steps": steps,
+        "total_device_ms_per_step": round(total / 1e12 * 1e3 / steps, 3),
+        "attributed_ms_per_step": round(
+            sum(r["ms"] for r in rows), 3
+        ),
+        "unattributed_top": dict(
+            (k, round(v / 1e12 * 1e3 / steps, 3))
+            for k, v in unattributed.most_common(8)
+        ),
+        "by_kind_ms": {k: round(v, 3) for k, v in kinds.items()},
+        "layers": rows,
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -228,35 +228,61 @@ def test_run_cls_main_int8_with_data(imagenet_tree, tmp_path, monkeypatch, capsy
     assert 0.0 <= logged["acc"] <= 1.0
 
 
-def test_run_seg_main_sim_with_data(voc_tree, tmp_path, monkeypatch, capsys):
+def test_run_cls_stream_matches_sync(imagenet_tree, tmp_path, monkeypatch, capsys):
+    """--stream (batches kept in flight) must report the same accuracy
+    as the synchronous loop on the same data."""
+    from dfq_tpu.cli import run_cls
+
+    monkeypatch.chdir(tmp_path)
+    accs = []
+    for extra in ([], ["--stream"]):
+        _run_cli(
+            monkeypatch, run_cls,
+            ["run_cls", "--quantize", "--relu", "--equalize", "--bits_bias",
+             "16", "--engine", "fused", "--data-dir", imagenet_tree,
+             "--batch-size", "2", "--limit", "6"] + extra,
+        )
+        out = capsys.readouterr().out
+        accs.append(float(out.split("Acc: ")[1].split()[0]))
+    assert accs[0] == accs[1]
+
+
+def test_run_seg_main_int8_with_data(voc_tree, tmp_path, monkeypatch, capsys):
+    """Seg CLI end-to-end through the TRUE-int8 engine (round-2 gap: the
+    sim path was the only one smoked)."""
     from dfq_tpu.cli import run_seg
 
     monkeypatch.chdir(tmp_path)
     _run_cli(
         monkeypatch, run_seg,
         ["run_seg", "--quantize", "--relu", "--equalize", "--correction",
-         "--data-dir", voc_tree, "--crop-size", "129", "--batch-size", "2",
-         "--log"],
+         "--engine", "int8", "--data-dir", voc_tree, "--crop-size", "129",
+         "--batch-size", "2", "--log"],
     )
     out = capsys.readouterr().out
     assert "mIOU:" in out
     logged = json.loads((tmp_path / "seg_result.txt").read_text().splitlines()[-1])
     assert logged["quant"] is True and logged["miou"] is not None
+    assert logged["engine"] == "int8"
 
 
-def test_run_ssd_main_sim_with_data(voc_tree, tmp_path, monkeypatch, capsys):
+def test_run_ssd_main_int8_with_data(voc_tree, tmp_path, monkeypatch, capsys):
+    """SSD CLI end-to-end through the TRUE-int8 engine (multi-head +
+    softmax int8 paths exercised via the CLI)."""
     from dfq_tpu.cli import run_ssd
 
     monkeypatch.chdir(tmp_path)
     _run_cli(
         monkeypatch, run_ssd,
-        ["run_ssd", "--quantize", "--relu", "--equalize", "--data-dir",
-         voc_tree, "--split", "test", "--limit", "2", "--2007_metric", "--log"],
+        ["run_ssd", "--quantize", "--relu", "--equalize", "--engine", "int8",
+         "--data-dir", voc_tree, "--split", "test", "--limit", "2",
+         "--2007_metric", "--log"],
     )
     out = capsys.readouterr().out
     assert "mAP:" in out
     logged = json.loads((tmp_path / "ssd_result.txt").read_text().splitlines()[-1])
     assert logged["2007"] is True and logged["mAP"] is not None
+    assert logged["engine"] == "int8"
 
 
 def test_convert_main_exports_both_artifacts(tmp_path, monkeypatch, capsys):

@@ -100,3 +100,30 @@ def test_fused_block_kernel_matches_engine():
     )
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
+
+
+def test_dw_dense_diag_bit_exact():
+    """The dw-on-MXU dense-diagonal rewrite must be bit-identical to the
+    grouped path at every threshold split (same int8 taps on the
+    diagonal, zeros elsewhere; zp fold unchanged)."""
+    graph = mobilenet_v2()
+    params = init_params(graph, seed=0, bn_stats="random")
+    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    prep = prepare(graph, params, cfg)
+    model = lower_int8(prep)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        np.clip(rng.normal(0, 1, (2, 64, 64, 3)), -2.117, 2.64), jnp.float32
+    )
+    base = np.asarray(
+        jax.jit(lambda v: execute_int8_fused(model, prep.params, v))(x)
+    )
+    for thresh in (96, 10_000):
+        dense = np.asarray(
+            jax.jit(
+                lambda v: execute_int8_fused(
+                    model, prep.params, v, dw_dense_max_ch=thresh
+                )
+            )(x)
+        )
+        np.testing.assert_array_equal(dense, base), thresh

@@ -54,6 +54,73 @@ def test_sharded_eval_matches_single_device():
     assert correct == expect
 
 
+def _inv_res_net():
+    """Small inverted-residual net: exercises the fused engine's real
+    content (pw expand -> dw 3x3 -> pw project -> residual add)."""
+    b = GraphBuilder()
+    x = b.input("data")
+    x = b.conv("stem", x, 3, 8, (3, 3), stride=(2, 2), padding=(1, 1))
+    x = b.bn("stem_bn", x, 8)
+    x = b.relu6("stem_act", x)
+    y = b.conv("exp", x, 8, 24, (1, 1))
+    y = b.bn("exp_bn", y, 24)
+    y = b.relu6("exp_act", y)
+    y = b.conv("dw", y, 24, 24, (3, 3), padding=(1, 1), groups=24)
+    y = b.bn("dw_bn", y, 24)
+    y = b.relu6("dw_act", y)
+    y = b.conv("proj", y, 24, 8, (1, 1))
+    y = b.bn("proj_bn", y, 8)
+    z = b.add("res", x, y)
+    z = b.global_mean("gm", z)
+    z = b.linear("fc", z, 8, 4)
+    return b.build([z])
+
+
+def test_sharded_int8_and_fused_match_single_device():
+    """The true-int8 engines must produce IDENTICAL logits sharded over
+    the mesh vs single-device: data parallelism splits the batch only, so
+    every per-example computation is bit-identical and the counters psum
+    exactly."""
+    from dfq_tpu.engine import execute_int8, lower_int8
+    from dfq_tpu.engine.int8_fused import execute_int8_fused
+    from dfq_tpu.parallel.eval import make_sharded_forward
+    from dfq_tpu.pipeline import QuantConfig, prepare
+
+    g = _inv_res_net()
+    p = init_params(g, seed=0, bn_stats="random")
+    prep = prepare(
+        g, p, QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    )
+    model = lower_int8(prep)
+    mesh = data_mesh()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (16, 16, 16, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, 16), jnp.int32)
+
+    for engine, exec_fn in (("int8", execute_int8), ("fused", execute_int8_fused)):
+        oracle = np.asarray(
+            jax.jit(lambda v: exec_fn(model, prep.params, v))(x)
+        )
+        fwd = make_sharded_forward(
+            prep.graph, prep.params, mesh, int8_model=model, engine=engine
+        )
+        run = make_sharded_eval(
+            prep.graph, prep.params, mesh, int8_model=model, engine=engine
+        )
+        with mesh:
+            sharded = np.asarray(fwd(x))
+            correct, total = run(x, labels)
+        np.testing.assert_array_equal(sharded, oracle), engine
+        assert total == 16
+        assert correct == int(
+            (oracle.argmax(-1) == np.asarray(labels)).sum()
+        ), engine
+        # the sharded logits really lived on all 8 devices
+        with mesh:
+            out = fwd(x)
+        assert len(out.sharding.device_set) == 8
+
+
 def test_sharded_distill_step_runs_and_reduces():
     g = _net()
     p = init_params(g, seed=0, bn_stats="random")
@@ -101,3 +168,43 @@ def test_checkpoint_roundtrip(tmp_path):
     p2, r2 = load_params(str(tmp_path / "ckpt"))
     np.testing.assert_allclose(p2["c1"]["weight"], p["c1"]["weight"])
     assert r2 == ranges
+
+
+def test_streaming_eval_matches_sharded():
+    """The depth-2 streaming pipeline must produce the same counters as
+    the synchronous sharded eval over a multi-batch host stream."""
+    from dfq_tpu.engine import lower_int8
+    from dfq_tpu.parallel import make_streaming_eval
+    from dfq_tpu.pipeline import QuantConfig, prepare
+
+    g = _inv_res_net()
+    p = init_params(g, seed=0, bn_stats="random")
+    prep = prepare(
+        g, p, QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    )
+    model = lower_int8(prep)
+    mesh = data_mesh()
+    rng = np.random.default_rng(3)
+    batches = [
+        (
+            rng.normal(0, 1, (16, 16, 16, 3)).astype(np.float32),
+            rng.integers(0, 4, 16).astype(np.int32),
+        )
+        for _ in range(5)
+    ]
+
+    run_sync = make_sharded_eval(
+        prep.graph, prep.params, mesh, int8_model=model, engine="int8"
+    )
+    with mesh:
+        want_c = want_t = 0
+        for x, l in batches:
+            c, t = run_sync(jnp.asarray(x), jnp.asarray(l))
+            want_c, want_t = want_c + c, want_t + t
+
+    run_stream = make_streaming_eval(
+        prep.graph, prep.params, mesh, int8_model=model, engine="int8"
+    )
+    with mesh:
+        got_c, got_t = run_stream(iter(batches))
+    assert (got_c, got_t) == (want_c, want_t)

@@ -221,6 +221,65 @@ def test_int8_bias_grid_semantics():
     assert np.abs(lowered[8] - raw).max() > np.abs(lowered[16] - raw).max()
 
 
+def test_int8_weight_bits_grid():
+    """lower_int8 must honor cfg.bits_weight (the reference's
+    set_layer_bits regimes, utils/quantize.py:359-372): a W4 run must
+    produce genuinely 4-bit weight codes with the matching per-channel
+    scales, not a silently-W8 artifact."""
+    from dfq_tpu.graph.ir import GraphBuilder
+
+    rng = np.random.default_rng(4)
+    b = GraphBuilder()
+    xn = b.input("data")
+    b.conv("c", xn, 8, 16, (3, 3), padding=(1, 1), bias=True)
+    g = b.build(["c"])
+    p = {"c": {
+        "weight": rng.normal(0, 0.1, (16, 8, 3, 3)).astype(np.float32),
+        "bias": rng.normal(0, 0.5, 16).astype(np.float32),
+    }}
+
+    layers = {}
+    for bits in (4, 6, 8):
+        prep = prepare(g, p, QuantConfig(quantize=True, bits_weight=bits))
+        layers[bits] = lower_int8(prep).layers["c"]
+
+    w = np.asarray(prep.params_fp["c"]["weight"], np.float32)
+    for bits in (4, 6, 8):
+        L = layers[bits]
+        qmax = 2 ** (bits - 1) - 1
+        q = np.asarray(L.qweight, np.int32)
+        assert q.min() >= -qmax - 1 and q.max() <= qmax
+        # codes actually reach the narrow grid's extremes (not W8 codes)
+        assert q.max() > qmax - 2
+        amax = np.abs(w.reshape(16, -1)).max(axis=1)
+        np.testing.assert_allclose(L.w_scale, amax / qmax, rtol=1e-6)
+        # dequantized weights approximate the f32 weights at grid res
+        err = np.abs(q * L.w_scale.reshape(-1, 1, 1, 1) - w).max()
+        assert err <= 0.5 * L.w_scale.max() + 1e-7
+    # wsum matches the narrow codes (zero-point fold stays exact)
+    np.testing.assert_array_equal(
+        layers[4].wsum,
+        np.asarray(layers[4].qweight, np.int32).reshape(16, -1).sum(1),
+    )
+    # W4 codes differ from W8 codes (regression for the hardcoded bits=8)
+    assert not np.array_equal(layers[4].qweight, layers[8].qweight)
+
+    with pytest.raises(ValueError, match="bits_weight"):
+        lower_int8(prepare(g, p, QuantConfig(quantize=True, bits_weight=16)))
+
+    # narrow-activation regime: baseline engine runs, fused refuses
+    from dfq_tpu.engine.int8_fused import execute_int8_fused
+
+    prep4 = prepare(g, p, QuantConfig(quantize=True, bits_activation=4))
+    m4 = lower_int8(prep4)
+    assert m4.bits_act == 4
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 8)), jnp.float32)
+    out = execute_int8(m4, prep4.params, x)
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError, match="bits_act"):
+        execute_int8_fused(m4, prep4.params, x)
+
+
 def test_trainable_regime_matches_default(mnv2_setup):
     """The --trainable regime (per-forward weight fake-quant,
     QuantConv2d utils/quantize.py:220-231) computes the same per-tensor

@@ -40,6 +40,16 @@ def test_layer_costs_and_roofline():
     assert rep["sol_images_per_s"] > 0
     rep2 = roofline_report(g, batch=2, input_size=16, measured_time_s=1.0)
     assert 0 < rep2["sol_fraction"] <= 1.0 or rep2["sol_fraction"] > 0
+    # per-layer sum is a tighter (>=) bound than the aggregate max:
+    # sum_l max(tc_l, tm_l) >= max(sum tc, sum tm)
+    assert rep["t_sol_peak_s"] >= rep["t_sol_aggregate_s"] * (1 - 1e-9)
+    assert rep["t_sol_s"] >= rep["t_sol_peak_s"] * (1 - 1e-9)
+    assert all("t_sol_s" in c and "bound" in c for c in rep["layers"])
+    # calibration override plumbs through
+    rep3 = roofline_report(
+        g, batch=2, input_size=16, measured_rates={"mxu_int8_eff": 1e12}
+    )
+    assert rep3["t_sol_s"] > rep["t_sol_s"]
 
 
 def test_learn_scales_refines_without_degrading():
