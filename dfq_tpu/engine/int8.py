@@ -261,6 +261,13 @@ def _run_node_inner(node, model, params_f32, env, site_fq):
         elif op == "reshape":
             v = ins[0]
             out = v.reshape((v.shape[0],) + tuple(node.attrs["shape"]))
+        elif op == "l2norm":
+            v = site_fq(node, 0, ins[0])
+            norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+            out = v / jnp.maximum(norm, 1e-12) * params_f32[node.name]["scale"]
+        elif op == "permute_nchw":
+            v = jnp.transpose(ins[0], (0, 3, 1, 2))
+            out = jnp.transpose(v, node.attrs["perm"])
         else:
             raise NotImplementedError(f"int8 engine: op {op!r}")
         return out

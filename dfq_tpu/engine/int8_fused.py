@@ -576,6 +576,15 @@ def execute_int8_fused(
             elif op == "reshape":
                 v = ins_f[0]
                 out = v.reshape((v.shape[0],) + tuple(node.attrs["shape"]))
+            elif op == "l2norm":
+                v = site_fq(0, ins_f[0])
+                norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+                out = (
+                    v / jnp.maximum(norm, 1e-12) * params_f32[name]["scale"]
+                )
+            elif op == "permute_nchw":
+                v = jnp.transpose(ins_f[0], (0, 3, 1, 2))
+                out = jnp.transpose(v, node.attrs["perm"])
             else:
                 raise NotImplementedError(f"fused int8 engine: op {op!r}")
             emit(name, out)

@@ -168,3 +168,63 @@ def test_deeplab_int8_multidevice_sharded(deeplab_int8):
     with mesh:
         sharded = np.asarray(fwd(x))
     np.testing.assert_array_equal(sharded, oracle)
+
+
+def test_int8_engines_handle_l2norm_and_permute():
+    """Engine coverage for the remaining graph ops: l2norm (the SSD
+    ScaledL2Norm extra) and permute_nchw (AlexNet's NCHW flatten) run
+    through both int8 engines and match the simulator's f32 semantics at
+    quant tolerance."""
+    from dfq_tpu.graph.ir import GraphBuilder
+    from dfq_tpu.models import init_params
+
+    b = GraphBuilder()
+    n = b.input("data")
+    n = b.conv("c1", n, 3, 16, (3, 3), padding=(1, 1))
+    n = b.bn("bn1", n, 16)
+    n = b.relu("r1", n)
+    n = b.l2norm("l2", n, 16)
+    n = b.conv("c2", n, 16, 8, (1, 1))
+    n = b.permute_nchw("pm", n, perm=(0, 1, 2, 3))
+    n = b.reshape("rs", n, shape=(-1,))
+    g = b.build([n])
+    p = init_params(g, seed=0, bn_stats="random")
+    prep = prepare(g, p, QuantConfig(quantize=True, relu=True))
+    model = lower_int8(prep)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 3)), jnp.float32)
+    sim = np.asarray(
+        jax.jit(
+            lambda v: execute(g, prep.params, v, act_ranges=prep.act_ranges)
+        )(x)
+    )
+    for fn in (execute_int8, execute_int8_fused):
+        out = np.asarray(jax.jit(lambda v: fn(model, prep.params, v))(x))
+        assert out.shape == sim.shape
+        assert np.isfinite(out).all()
+        # engine vs sim differ only by int8 rounding of the conv stack
+        assert np.abs(out - sim).mean() < np.abs(sim).mean() * 0.25, fn.__name__
+
+
+def test_int8_engine_runs_alexnet():
+    """AlexNet through the true-int8 engine. The data-free range setter
+    rejects BN-less conv chains (same restriction as the reference,
+    layer_transform.py:330), so only the stem gets a manual range — the
+    rest exercises the engine's f32 fallback path (big-kernel stem,
+    permute_nchw flatten, dropout, linear head)."""
+    from dfq_tpu.models import alexnet, init_params
+
+    g = alexnet()
+    p = init_params(g, seed=0, bn_stats="random")
+    prep = prepare(g, p, QuantConfig(quantize=False))
+    first_conv = next(n.name for n in prep.graph if n.op == "conv")
+    prep.act_ranges = {f"{first_conv}:in0": (-2.2, 2.7)}
+    model = lower_int8(prep)
+    assert first_conv in model.layers
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (1, 224, 224, 3)), jnp.float32
+    )
+    out = np.asarray(
+        jax.jit(lambda v: execute_int8(model, prep.params, v))(x)
+    )
+    assert out.shape == (1, 1000) and np.isfinite(out).all()
