@@ -168,9 +168,17 @@ def _int8_conv(xq, node, qw_hwio, zp: int):
     )
 
 
-def execute_int8(model: Int8Model, params_f32, x: jnp.ndarray):
+def execute_int8(model: Int8Model, params_f32, x: jnp.ndarray, weights=None):
     """Run the int8 graph. ``params_f32`` supplies any layers that were
-    not lowered (plus BN identities). Jittable; close over ``model``."""
+    not lowered (plus BN identities). Jittable; close over ``model``.
+
+    ``weights`` optionally overrides the lowered int8 constants with a
+    dict ``{name: {"qweight", "wsum", "scale", "bias"}}`` of device
+    arrays passed as jit ARGUMENTS — conv qweight in HWIO, linear
+    qweight as [in, out], so the last dim is the output channel. This is
+    the tensor-parallel entry: shard that last dim over a model axis
+    (``parallel.tp``) and GSPMD partitions every conv and inserts the
+    collectives."""
     graph = model.graph
     env: Dict[str, jnp.ndarray] = {}
     act_ranges = model.act_ranges
@@ -188,86 +196,97 @@ def execute_int8(model: Int8Model, params_f32, x: jnp.ndarray):
     for node in graph:
         if node.op == "input":
             continue
-        env[node.name] = _run_node(node, model, params_f32, env, site_fq)
+        env[node.name] = _run_node(node, model, params_f32, env, site_fq, weights)
 
     outs = tuple(env[o] for o in graph.outputs)
     return outs[0] if len(outs) == 1 else outs
 
 
-def _run_node(node, model, params_f32, env, site_fq):
+def _run_node(node, model, params_f32, env, site_fq, weights=None):
     with jax.named_scope(node.name):
-        return _run_node_inner(node, model, params_f32, env, site_fq)
+        return _run_node_inner(node, model, params_f32, env, site_fq, weights)
 
 
-def _run_node_inner(node, model, params_f32, env, site_fq):
-        ins = [env[i] for i in node.inputs]
-        op = node.op
-        if op in ("conv", "linear") and node.name in model.layers:
-            layer = model.layers[node.name]
-            xq = _quantize_act(ins[0], layer, qmax=2.0**model.bits_act - 1.0)
-            if op == "conv":
-                qw = jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
-                acc = _int8_conv(xq, node, qw, layer.in_zp)
-            else:
-                acc = lax.dot_general(
-                    xq,
-                    jnp.asarray(layer.qweight).T,
-                    (((xq.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-            # zero-point cross term: zp * colsum(qw)
-            acc = acc - layer.in_zp * jnp.asarray(layer.wsum, jnp.int32)
-            out = acc.astype(jnp.float32) * (layer.in_scale * layer.w_scale)
-            if layer.bias is not None:
-                out = out + layer.bias
-        elif op == "conv":
-            from dfq_tpu.graph.executor import _conv
-
-            out = _conv(site_fq(node, 0, ins[0]), node, params_f32[node.name])
-        elif op == "linear":
-            from dfq_tpu.graph.executor import _linear
-
-            out = _linear(site_fq(node, 0, ins[0]), node, params_f32[node.name])
-        elif op == "bn":
-            out = _bn(ins[0], node, params_f32[node.name])
-        elif op in ("identity", "dropout"):
-            out = ins[0]
-        elif op == "relu":
-            out = jax.nn.relu(ins[0])
-        elif op == "relu6":
-            out = jnp.clip(ins[0], 0.0, 6.0)
-        elif op == "add":
-            a = site_fq(node, 0, ins[0])
-            b = site_fq(node, 1, ins[1])
-            out = a + b
-        elif op == "concat":
-            vals = [site_fq(node, i, v) for i, v in enumerate(ins)]
-            out = jnp.concatenate(vals, axis=node.attrs.get("axis", -1))
-        elif op == "global_mean":
-            out = jnp.mean(site_fq(node, 0, ins[0]), axis=(1, 2))
-        elif op == "global_pool":
-            out = jnp.mean(ins[0], axis=(1, 2), keepdims=True)
-        elif op == "avgpool":
-            out = _pool(ins[0], node, "avg")
-        elif op == "maxpool":
-            out = _pool(ins[0], node, "max")
-        elif op == "pad":
-            t, b_, l, r = node.attrs["pads"]
-            out = jnp.pad(ins[0], ((0, 0), (t, b_), (l, r), (0, 0)))
-        elif op == "interpolate":
-            out = _interpolate(site_fq(node, 0, ins[0]), node)
-        elif op == "softmax":
-            out = jax.nn.softmax(site_fq(node, 0, ins[0]), axis=node.attrs.get("axis", -1))
-        elif op == "reshape":
-            v = ins[0]
-            out = v.reshape((v.shape[0],) + tuple(node.attrs["shape"]))
-        elif op == "l2norm":
-            v = site_fq(node, 0, ins[0])
-            norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-            out = v / jnp.maximum(norm, 1e-12) * params_f32[node.name]["scale"]
-        elif op == "permute_nchw":
-            v = jnp.transpose(ins[0], (0, 3, 1, 2))
-            out = jnp.transpose(v, node.attrs["perm"])
+def _run_node_inner(node, model, params_f32, env, site_fq, weights=None):
+    ins = [env[i] for i in node.inputs]
+    op = node.op
+    if op in ("conv", "linear") and node.name in model.layers:
+        layer = model.layers[node.name]
+        ov = (weights or {}).get(node.name)
+        xq = _quantize_act(ins[0], layer, qmax=2.0**model.bits_act - 1.0)
+        if op == "conv":
+            qw = (
+                ov["qweight"] if ov is not None
+                else jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
+            )
+            acc = _int8_conv(xq, node, qw, layer.in_zp)
         else:
-            raise NotImplementedError(f"int8 engine: op {op!r}")
-        return out
+            qw = (
+                ov["qweight"] if ov is not None
+                else jnp.asarray(layer.qweight).T
+            )
+            acc = lax.dot_general(
+                xq,
+                qw,
+                (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        # zero-point cross term: zp * colsum(qw)
+        wsum = ov["wsum"] if ov is not None else jnp.asarray(layer.wsum, jnp.int32)
+        acc = acc - layer.in_zp * wsum
+        w_scale = ov["scale"] if ov is not None else layer.w_scale
+        out = acc.astype(jnp.float32) * (layer.in_scale * w_scale)
+        bias = ov.get("bias") if ov is not None else layer.bias
+        if bias is not None:
+            out = out + bias
+    elif op == "conv":
+        from dfq_tpu.graph.executor import _conv
+
+        out = _conv(site_fq(node, 0, ins[0]), node, params_f32[node.name])
+    elif op == "linear":
+        from dfq_tpu.graph.executor import _linear
+
+        out = _linear(site_fq(node, 0, ins[0]), node, params_f32[node.name])
+    elif op == "bn":
+        out = _bn(ins[0], node, params_f32[node.name])
+    elif op in ("identity", "dropout"):
+        out = ins[0]
+    elif op == "relu":
+        out = jax.nn.relu(ins[0])
+    elif op == "relu6":
+        out = jnp.clip(ins[0], 0.0, 6.0)
+    elif op == "add":
+        a = site_fq(node, 0, ins[0])
+        b = site_fq(node, 1, ins[1])
+        out = a + b
+    elif op == "concat":
+        vals = [site_fq(node, i, v) for i, v in enumerate(ins)]
+        out = jnp.concatenate(vals, axis=node.attrs.get("axis", -1))
+    elif op == "global_mean":
+        out = jnp.mean(site_fq(node, 0, ins[0]), axis=(1, 2))
+    elif op == "global_pool":
+        out = jnp.mean(ins[0], axis=(1, 2), keepdims=True)
+    elif op == "avgpool":
+        out = _pool(ins[0], node, "avg")
+    elif op == "maxpool":
+        out = _pool(ins[0], node, "max")
+    elif op == "pad":
+        t, b_, l, r = node.attrs["pads"]
+        out = jnp.pad(ins[0], ((0, 0), (t, b_), (l, r), (0, 0)))
+    elif op == "interpolate":
+        out = _interpolate(site_fq(node, 0, ins[0]), node)
+    elif op == "softmax":
+        out = jax.nn.softmax(site_fq(node, 0, ins[0]), axis=node.attrs.get("axis", -1))
+    elif op == "reshape":
+        v = ins[0]
+        out = v.reshape((v.shape[0],) + tuple(node.attrs["shape"]))
+    elif op == "l2norm":
+        v = site_fq(node, 0, ins[0])
+        norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        out = v / jnp.maximum(norm, 1e-12) * params_f32[node.name]["scale"]
+    elif op == "permute_nchw":
+        v = jnp.transpose(ins[0], (0, 3, 1, 2))
+        out = jnp.transpose(v, node.attrs["perm"])
+    else:
+        raise NotImplementedError(f"int8 engine: op {op!r}")
+    return out

@@ -228,3 +228,30 @@ def test_int8_engine_runs_alexnet():
         jax.jit(lambda v: execute_int8(model, prep.params, v))(x)
     )
     assert out.shape == (1, 1000) and np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("builder_name", ["xception", "drn"])
+def test_int8_engine_runs_other_deeplab_backbones(builder_name):
+    """The true-int8 engine executes the exotic DeepLab backbones too:
+    Xception (separable-conv stacks) and DRN-D-54 (dilated residual
+    stages) — lowering coverage beyond the MNV2 flagship."""
+    from dfq_tpu.models import deeplab_drn, deeplab_xception
+
+    build = deeplab_xception if builder_name == "xception" else deeplab_drn
+    g = build(input_size=65)
+    p = init_params(g, seed=0, bn_stats="random")
+    prep = prepare(
+        g, p, QuantConfig(quantize=True, relu=True, bits_bias=16)
+    )
+    model = lower_int8(prep)
+    # a solid majority of convs lower (BN-less tails may stay f32)
+    n_conv = sum(1 for n in prep.graph if n.op in ("conv", "linear"))
+    assert len(model.layers) > n_conv * 0.8, (len(model.layers), n_conv)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (1, 65, 65, 3)), jnp.float32
+    )
+    out = np.asarray(
+        jax.jit(lambda v: execute_int8(model, prep.params, v))(x)
+    )
+    assert out.shape == (1, 65, 65, 21)
+    assert np.isfinite(out).all()

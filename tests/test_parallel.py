@@ -208,3 +208,38 @@ def test_streaming_eval_matches_sharded():
     with mesh:
         got_c, got_t = run_stream(iter(batches))
     assert (got_c, got_t) == (want_c, want_t)
+
+
+def test_tensor_parallel_int8_matches_single_device():
+    """Channel-sharded (tensor-parallel) int8 execution over a 2x4
+    data x model mesh: weights split on output channels, GSPMD inserts
+    the collectives, logits match the single-device engine (int32 conv
+    cores are exact; f32 epilogues may reassociate)."""
+    from dfq_tpu.engine import execute_int8, lower_int8
+    from dfq_tpu.parallel import make_tp_int8_forward, tp_mesh
+    from dfq_tpu.pipeline import QuantConfig, prepare
+
+    g = _inv_res_net()
+    p = init_params(g, seed=0, bn_stats="random")
+    prep = prepare(
+        g, p, QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    )
+    model = lower_int8(prep)
+    mesh = tp_mesh(2, 4)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (8, 16, 16, 3)), jnp.float32)
+
+    oracle = np.asarray(jax.jit(lambda v: execute_int8(model, prep.params, v))(x))
+    fwd = make_tp_int8_forward(model, prep.params, mesh)
+    with mesh:
+        out = fwd(x)
+        sharded = np.asarray(out)
+    np.testing.assert_allclose(sharded, oracle, rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(sharded.argmax(-1), oracle.argmax(-1))
+    # weights really live split across the model axis
+    from dfq_tpu.parallel.tp import shard_int8_weights
+
+    arrays = shard_int8_weights(model, mesh)
+    qw = arrays["exp"]["qweight"]  # HWIO, O=24 split over 4
+    shard_shapes = {s.data.shape for s in qw.addressable_shards}
+    assert all(sh[-1] == 6 for sh in shard_shapes), shard_shapes
