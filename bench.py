@@ -122,7 +122,10 @@ def step_time(fwd, x, n_small=2, n_big=12, tag="", rounds=3):
         t_big = time.perf_counter() - t0
         slopes.append((t_big - t_small) / (n_big - n_small))
     slopes.sort()
-    med = slopes[len(slopes) // 2]
+    # lower-median: with an even round count pick the smaller middle
+    # value — tunnel hiccups only ever ADD time, so the lower of two
+    # samples is the less-contaminated one
+    med = slopes[(len(slopes) - 1) // 2]
     print(
         f"# {tag} step-time slopes (ms): "
         + ", ".join(f"{s * 1e3:.2f}" for s in slopes)

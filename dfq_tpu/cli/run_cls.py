@@ -185,26 +185,19 @@ def main():
         batches = imagenet_batches(args.data_dir, args.batch_size, limit=args.limit)
         correct = total = 0
         if args.stream:
-            # streaming dispatch: keep `depth` device steps in flight so
-            # host decode + transfer overlap device compute
-            # (parallel/stream.py documents the pattern)
-            from collections import deque
+            # streaming dispatch: keep batches in flight so host decode +
+            # transfer overlap device compute (parallel/stream.py)
+            from dfq_tpu.parallel.stream import stream_counters
 
             count = jax.jit(
                 lambda lg, lb: jnp.sum((jnp.argmax(lg, -1) == lb).astype(jnp.int32))
             )
-            pending = deque()
-            for imgs, labels in batches:
-                c = count(fwd(jnp.asarray(imgs)), jnp.asarray(labels))
-                pending.append((c, len(labels)))
-                while len(pending) > 2:
-                    c0, n0 = pending.popleft()
-                    correct += int(c0)
-                    total += n0
-            while pending:
-                c0, n0 = pending.popleft()
-                correct += int(c0)
-                total += n0
+            correct, total = stream_counters(
+                lambda imgs, labels: count(
+                    fwd(jnp.asarray(imgs)), jnp.asarray(labels)
+                ),
+                batches,
+            )
         else:
             for imgs, labels in batches:
                 logits = np.asarray(fwd(jnp.asarray(imgs)))

@@ -30,6 +30,27 @@ from dfq_tpu.parallel.eval import make_sharded_forward
 from dfq_tpu.parallel.mesh import DATA_AXIS
 
 
+def stream_counters(step, batches: Iterable[Tuple], depth: int = 2) -> Tuple[int, int]:
+    """Drive ``step(x, labels) -> device_scalar_correct`` over a host
+    batch iterator keeping ``depth`` dispatches in flight; fetches each
+    counter ``depth`` batches late so host RTT overlaps device compute.
+    Shared by :func:`make_streaming_eval` and ``run_cls --stream``."""
+    correct = 0
+    total = 0
+    pending: deque = deque()
+    for x, labels in batches:
+        pending.append((step(x, labels), int(x.shape[0])))
+        while len(pending) > depth:
+            c0, n0 = pending.popleft()
+            correct += int(c0)
+            total += n0
+    while pending:
+        c0, n0 = pending.popleft()
+        correct += int(c0)
+        total += n0
+    return correct, total
+
+
 def make_streaming_eval(
     graph: Graph,
     params,
@@ -57,23 +78,11 @@ def make_streaming_eval(
         pred = jnp.argmax(logits, axis=-1)
         return jnp.sum((pred == labels).astype(jnp.int32))
 
+    def step(x, labels):
+        ld = jax.device_put(jnp.asarray(labels), data_sh)
+        return count(fwd(x), ld)  # async dispatch; nothing fetched yet
+
     def run(batches: Iterable[Tuple]) -> Tuple[int, int]:
-        correct = 0
-        total = 0
-        pending: deque = deque()
-        for x, labels in batches:
-            n = int(x.shape[0])
-            ld = jax.device_put(jnp.asarray(labels), data_sh)
-            c = count(fwd(x), ld)  # async dispatch; nothing fetched yet
-            pending.append((c, n))
-            while len(pending) > depth:
-                c0, n0 = pending.popleft()
-                correct += int(c0)
-                total += n0
-        while pending:
-            c0, n0 = pending.popleft()
-            correct += int(c0)
-            total += n0
-        return correct, total
+        return stream_counters(step, batches, depth=depth)
 
     return run

@@ -28,8 +28,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dfq_tpu.engine.int8 import Int8Model, execute_int8
+from dfq_tpu.parallel.mesh import DATA_AXIS
 
-DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 

@@ -156,11 +156,13 @@ def roofline_report(
     ``t_sol_aggregate_s`` the old optimistic number) so the gap between
     them is visible.
 
-    Depthwise layers additionally use the *calibrated structural* rate
-    (``V5E_MEASURED['dw_eff_bytes']``): on v5e they are VPU-tap-bound at
-    ~110 GB/s effective, not HBM-bound at 819 GB/s, and a bound the
-    hardware cannot reach is not a yardstick. Pass ``measured_rates``
-    to override either calibration.
+    Depthwise memory terms use ``V5E_MEASURED['dw_eff_bytes']``, which
+    DEFAULTS TO PEAK HBM: round-2's "~110 GB/s VPU-tap-bound" dw
+    calibration was refuted by round-3 traces (see the V5E_MEASURED
+    comment above), so no sub-HBM dw rate is assumed; pass
+    ``measured_rates={"dw_eff_bytes": ...}`` to model one (layers it
+    binds get ``bound="dw-vpu"``). ``mxu_int8_eff`` (measured 276 TOPS)
+    calibrates the compute term of matmul-shaped layers.
     """
     peaks = peaks or V5E_PEAKS
     rates = dict(V5E_MEASURED)

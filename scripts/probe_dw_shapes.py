@@ -27,8 +27,9 @@ sys.path.insert(0, ".")
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from dfq_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np
@@ -74,9 +75,12 @@ def _requant(acc, alpha):
 
 def make_case(C, H, stride, dense):
     """Build one dw case: int8 input, the conv+requant fn, and a loop
-    factory. The loop XORs a scalar of the previous output into the
-    input each iteration, so nothing hoists and traffic is exactly
-    read-x + write-out per step."""
+    factory. Each iteration folds a FULL reduction of the output into
+    the next input's XOR, so every output element is live (a lone
+    corner-element consume would let XLA dead-code the requant epilogue
+    and most of the conv). Caveat: XLA may fuse the reduction and elide
+    the HBM store of ``out``, so the effective GB/s is an optimistic
+    read+compute bound, not proof of write traffic."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(-128, 128, (N_BATCH, H, H, C)), jnp.int8)
     if dense:
@@ -109,7 +113,8 @@ def make_case(C, H, stride, dense):
             def body(i, carry):
                 xq, s = carry
                 out = conv(jnp.bitwise_xor(xq, s))
-                return xq, out[0, 0, 0, 0]
+                consumed = jnp.sum(out.astype(jnp.int32))
+                return xq, (consumed % 113).astype(jnp.int8)
 
             _, s = lax.fori_loop(0, n, body, (x, jnp.int8(0)))
             return s

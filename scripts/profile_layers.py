@@ -33,8 +33,9 @@ if "--no-cache" not in sys.argv:
     # NOTE: the persistent cache key ignores metadata-only changes, so a
     # trace after adding/altering named scopes needs --no-cache once to
     # get an executable whose op_name metadata matches the source
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from dfq_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np
@@ -150,14 +151,17 @@ def main():
     pat = re.compile(
         "(" + "|".join(re.escape(n) for n in node_names) + ")"
     )
+    # Attribution caveat: XLA fuses neighboring ops (notably each dw conv
+    # into an adjacent pw fusion); a fused op's whole duration is credited
+    # to the FIRST node scope appearing in its name, so dw time rides on
+    # its neighbor's row. Only the sync op line is counted — "Async XLA
+    # Ops" carries overlapped DMAs (weight prefetch copy-starts) that are
+    # not critical-path device time.
     per_node = collections.Counter()
     unattributed = collections.Counter()
     total = 0
     for name, scope, dur, line in evs:
-        if line not in ("XLA Ops", "XLA Modules", "Steps") and "XLA" not in line:
-            # only count op-level lines; fall through if naming differs
-            pass
-        if line == "XLA Modules":
+        if line != "XLA Ops":
             continue
         text = name
         if scope is not None:
