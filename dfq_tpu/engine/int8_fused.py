@@ -251,7 +251,7 @@ def execute_int8_fused(
     use_pallas: bool = False,
     stem_s2d: bool = True,
     fuse_blocks: bool = False,
-    dw_dense_max_ch: int = 0,
+    dw_dense_max_ch="auto",
 ):
     """``use_pallas=True`` routes pointwise convs / linear layers through
     the Pallas int8 matmul kernel and stride-1 depthwise 3x3 convs
@@ -262,7 +262,14 @@ def execute_int8_fused(
 
     ``dw_dense_max_ch``: depthwise convs with C <= this threshold run as
     dense-diagonal convs on the MXU instead of grouped convs on the VPU
-    (bit-exact rewrite, see :func:`_dense_diag_weights`); 0 disables."""
+    (bit-exact rewrite, see :func:`_dense_diag_weights`); 0 disables.
+    The default ``"auto"`` enables it (threshold 32) only for tiny
+    batches: XLA's grouped-conv config for the C=32 112^2 dw collapses
+    to ~1.5 GB/s at batch <= 8 (measured: the dense rewrite is 4.5x
+    end-to-end at batch 8, +14% at batch 4, and a loss from batch 16 up
+    — PERFORMANCE.md "small-batch serving")."""
+    if dw_dense_max_ch == "auto":
+        dw_dense_max_ch = 32 if x.shape[0] <= 8 else 0
     if model.bits_act != 8:
         # the fused epilogues clamp on the 8-bit grid; narrow-activation
         # regimes (A4/A6) run through the baseline engine, which threads

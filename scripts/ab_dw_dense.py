@@ -22,14 +22,21 @@ import bench
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from dfq_tpu.engine.int8_fused import execute_int8_fused
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--thresholds", type=int, nargs="*",
+                    default=[0, 96, 192, 1024])
+    args = ap.parse_args()
     bench.enable_compile_cache()
     bench.tunnel_warmup()
-    batch = 128
+    batch = args.batch
     _, _, prep, model = bench._prep_model("mnv2")
     x = jax.jit(
         lambda: jax.random.normal(
@@ -38,7 +45,7 @@ def main():
     )()
 
     results = {}
-    for thresh in (0, 96, 192, 1024):
+    for thresh in args.thresholds:
         t = bench.step_time(
             lambda v: execute_int8_fused(
                 model, prep.params, v, dw_dense_max_ch=thresh
@@ -47,7 +54,7 @@ def main():
             tag=f"mnv2 dwdense{thresh}",
         )
         results[thresh] = batch / t
-        print(f"# dw_dense_max_ch={thresh}: {batch / t:.0f} img/s", file=sys.stderr)
+        print(f"# b{batch} dw_dense_max_ch={thresh}: {batch / t:.0f} img/s", file=sys.stderr)
     base = results[0]
     print(json.dumps({
         "experiment": "dw_dense_max_ch A/B (same session, fused MNV2 b128)",

@@ -1,7 +1,15 @@
 """Kernel-level microbenchmarks on the real chip: Pallas vs XLA.
 
+CAVEAT (round-3 finding): the timed loops here CAST f32->int8 inside
+the measured region, so the "effective GB/s" denominators undercount
+real traffic ~2.5x — the round-2 "dw = 110 GB/s, VPU-tap-bound"
+conclusion drawn from this script was refuted by in-model traces
+(PERFORMANCE.md "honest roofline"). Kept as-is for the historical
+record; use scripts/probe_dw_shapes.py (pure int8-domain chains) for
+dw rates and scripts/profile_layers.py for in-model attribution.
+
 Cases:
-  dw     - depthwise 3x3 stride-1 int8 (the memory-bound one; PERFORMANCE.md)
+  dw     - depthwise 3x3 stride-1 int8
   mm     - pointwise conv as int8 matmul
 
 Reports effective GB/s (dw: in+out int8 bytes) and TOPS (mm).

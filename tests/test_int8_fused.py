@@ -127,3 +127,31 @@ def test_dw_dense_diag_bit_exact():
             )(x)
         )
         np.testing.assert_array_equal(dense, base), thresh
+
+
+def test_dw_dense_auto_small_batch():
+    """The "auto" default turns the dense-diagonal dw rewrite on for
+    tiny batches (the measured XLA batch<=8 dw32 pathology) and off
+    otherwise — always bit-identical to the explicit setting."""
+    graph = mobilenet_v2()
+    params = init_params(graph, seed=0, bn_stats="random")
+    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    prep = prepare(graph, params, cfg)
+    model = lower_int8(prep)
+    rng = np.random.default_rng(1)
+    for batch, thresh in ((4, 32), (16, 0)):
+        x = jnp.asarray(
+            np.clip(rng.normal(0, 1, (batch, 64, 64, 3)), -2.117, 2.64),
+            jnp.float32,
+        )
+        auto = np.asarray(
+            jax.jit(lambda v: execute_int8_fused(model, prep.params, v))(x)
+        )
+        explicit = np.asarray(
+            jax.jit(
+                lambda v, t=thresh: execute_int8_fused(
+                    model, prep.params, v, dw_dense_max_ch=t
+                )
+            )(x)
+        )
+        np.testing.assert_array_equal(auto, explicit), batch
