@@ -45,12 +45,15 @@ def main():
     )()
 
     results = {}
+    b = batch
+    n_small, n_big = (2, 12) if b >= 64 else ((10, 60) if b >= 16 else (40, 240))
     for thresh in args.thresholds:
         t = bench.step_time(
             lambda v: execute_int8_fused(
                 model, prep.params, v, dw_dense_max_ch=thresh
             ),
             x,
+            n_small=n_small, n_big=n_big,
             tag=f"mnv2 dwdense{thresh}",
         )
         results[thresh] = batch / t
