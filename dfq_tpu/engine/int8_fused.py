@@ -249,7 +249,7 @@ def execute_int8_fused(
     params_f32,
     x: jnp.ndarray,
     use_pallas: bool = False,
-    stem_s2d: bool = True,
+    stem_s2d="auto",
     fuse_blocks: bool = False,
     dw_dense_max_ch="auto",
 ):
@@ -270,6 +270,12 @@ def execute_int8_fused(
     — PERFORMANCE.md "small-batch serving")."""
     if dw_dense_max_ch == "auto":
         dw_dense_max_ch = 32 if x.shape[0] <= 8 else 0
+    if stem_s2d == "auto":
+        # s2d (12-ch k2s1 rewrite of the stem) wins +5% at batch 128 but
+        # LOSES at small batch (-14% at b=8, -6% at b=32, measured
+        # same-session in scripts/ab_s2d.py) — XLA's config for the
+        # packed stem degrades with few rows. Exact either way.
+        stem_s2d = x.shape[0] >= 64
     if model.bits_act != 8:
         # the fused epilogues clamp on the 8-bit grid; narrow-activation
         # regimes (A4/A6) run through the baseline engine, which threads

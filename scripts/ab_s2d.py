@@ -23,6 +23,8 @@ import bench
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,9 +32,13 @@ def main():
     from dfq_tpu.engine import int8_fused
     from dfq_tpu.engine.int8_fused import execute_int8_fused
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--variants", nargs="*", default=["reshape", "slices", "off"])
+    args = ap.parse_args()
     bench.enable_compile_cache()
     bench.tunnel_warmup()
-    batch = 128
+    batch = args.batch
     _, _, prep, model = bench._prep_model("mnv2")
     x = jax.jit(
         lambda: jax.random.normal(
@@ -64,16 +70,19 @@ def main():
     print("# slice variant bit-exact", file=sys.stderr)
 
     results = {}
-    for name in ("reshape", "slices", "off"):
+    b = batch
+    n_small, n_big = (2, 12) if b >= 64 else ((10, 60) if b >= 16 else (40, 240))
+    for name in args.variants:
         int8_fused._space_to_depth2 = s2d_slices if name == "slices" else orig
         stem = name != "off"
         t = bench.step_time(
             lambda v, s=stem: execute_int8_fused(model, prep.params, v, stem_s2d=s),
             x,
-            tag=f"mnv2 s2d_{name}",
+            n_small=n_small, n_big=n_big,
+            tag=f"mnv2 b{b} s2d_{name}",
         )
         results[name] = batch / t
-        print(f"# s2d={name}: {batch / t:.0f} img/s", file=sys.stderr)
+        print(f"# b{batch} s2d={name}: {batch / t:.0f} img/s", file=sys.stderr)
     int8_fused._space_to_depth2 = orig
     print(json.dumps({
         "experiment": "s2d stem A/B (same session, fused MNV2 b128)",

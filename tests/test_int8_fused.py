@@ -155,3 +155,30 @@ def test_dw_dense_auto_small_batch():
             )(x)
         )
         np.testing.assert_array_equal(auto, explicit), batch
+
+
+def test_stem_s2d_auto_matches_explicit():
+    """stem_s2d="auto" (on for batch >= 64, off below) is numerically
+    identical to the explicit setting either way — the s2d rewrite is
+    exact, only the XLA config changes."""
+    graph = mobilenet_v2()
+    params = init_params(graph, seed=0, bn_stats="random")
+    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    prep = prepare(graph, params, cfg)
+    model = lower_int8(prep)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        np.clip(rng.normal(0, 1, (4, 64, 64, 3)), -2.117, 2.64), jnp.float32
+    )
+    auto = np.asarray(
+        jax.jit(lambda v: execute_int8_fused(model, prep.params, v))(x)
+    )
+    for stem in (True, False):
+        exp = np.asarray(
+            jax.jit(
+                lambda v, s=stem: execute_int8_fused(
+                    model, prep.params, v, stem_s2d=s
+                )
+            )(x)
+        )
+        np.testing.assert_array_equal(auto, exp), stem
