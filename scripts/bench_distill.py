@@ -15,13 +15,35 @@ time is the slope between a short and a long synthesis — same
 methodology as bench.py, interleaved rounds, median slope.
 """
 
+import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
+_ARGS = argparse.ArgumentParser()
+_ARGS.add_argument("--mesh", type=int, default=None,
+                   help="run the SHARDED distill step over an N-device "
+                        "mesh instead of the single-chip bench (use "
+                        "--platform cpu for the virtual-mesh harness)")
+_ARGS.add_argument("--platform", type=str, default=None)
+_ARGS.add_argument("--batch", type=int, default=None)
+_ARGS.add_argument("--size", type=int, default=None)
+args = _ARGS.parse_args()
+
+if args.platform == "cpu" and args.mesh:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.mesh}"
+        ).strip()
+
 import jax
+
+if args.platform:
+    jax.config.update("jax_platforms", args.platform)
 
 from dfq_tpu.utils.compile_cache import enable_compile_cache
 
@@ -30,8 +52,55 @@ enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 64
-SIZE = 224
+BATCH = args.batch or 64
+SIZE = args.size or 224
+
+
+def bench_mesh(n: int):
+    """Sharded-distillation scaling harness: per-iteration time of the
+    data-parallel ZeroQ step (psum'd BN-statistics loss) at mesh sizes
+    1 and n — the training-step analog of ``bench.py --mesh``. On a
+    virtual CPU mesh the n devices share one socket, so the ratio
+    validates the instrument, not real ICI scaling."""
+    from dfq_tpu.calib.distill import DistillConfig, init_random_batch
+    from dfq_tpu.models import init_params, mobilenet_v2
+    from dfq_tpu.parallel import data_mesh, make_sharded_distill_step
+    from dfq_tpu.passes import fold_batchnorm
+
+    graph = mobilenet_v2()
+    params = init_params(graph, seed=0, bn_stats="random")
+    gf, pf = fold_batchnorm(graph, params)
+    results = {}
+    for nd in sorted({1, n}):
+        mesh = data_mesh(nd)
+        cfg = DistillConfig(
+            batch_size=BATCH * nd, image_size=(SIZE, SIZE), max_iters=1
+        )
+        step, init = make_sharded_distill_step(gf, pf, cfg, mesh)
+        x0 = jnp.asarray(init_random_batch(np.random.default_rng(0), cfg))
+        with mesh:
+            x, opt_state = init(x0)
+            t0 = time.time()
+            x, opt_state, loss = step(x, opt_state)
+            jax.device_get(loss)
+            print(f"# mesh{nd} compile+first: {time.time() - t0:.1f}s "
+                  f"(loss {float(loss):.1f})", file=sys.stderr)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                x, opt_state, loss = step(x, opt_state)
+                jax.device_get(loss)
+                best = min(best, time.perf_counter() - t0)
+        results[nd] = BATCH * nd / best
+        print(f"# distill mesh n={nd}: {best * 1e3:.1f} ms/step, "
+              f"{results[nd]:.1f} img-iters/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "distill_img_iters_per_sec_mesh_scaling",
+        "value": round(results[n], 1),
+        "unit": "img-iters/s",
+        "vs_baseline": round(results[n] / results[1], 3),
+        "mesh": n, "batch_per_device": BATCH, "image_size": SIZE,
+    }))
 
 
 def main():
@@ -107,4 +176,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if args.mesh:
+        bench_mesh(args.mesh)
+    else:
+        main()
