@@ -46,6 +46,14 @@ import sys
 import time
 
 
+def loop_counts(batch: int):
+    """(n_small, n_big) for step_time at this batch size: sub-ms
+    steps need long loops or the slope drowns in tunnel noise (n=2/12
+    produced NEGATIVE slopes at batch 1 — keep >= ~50ms of loop
+    signal)."""
+    return (2, 12) if batch >= 64 else ((10, 60) if batch >= 16 else (40, 240))
+
+
 def enable_compile_cache():
     """Persistent XLA compilation cache at the repo root: a fresh
     process recompiling an unchanged program hits the cache in <1s

@@ -231,6 +231,18 @@ def _find_fusable_blocks(graph: Graph, model: Int8Model, plan):
     return blocks
 
 
+def auto_config(batch_per_device: int) -> Tuple[int, bool]:
+    """Measured batch-dependent engine policy -> (dw_dense_max_ch,
+    stem_s2d). XLA's grouped-conv config for the C=32 112^2 dw collapses
+    to ~1.5 GB/s at per-device batch <= 8 (dense-diagonal rewrite is
+    4.5x end-to-end there, a loss from batch 16 up), and the s2d stem
+    wins +5% at batch 128 but loses 14%/6% at batch 8/32 — all
+    same-session A/Bs in scripts/ab_dw_dense.py / ab_s2d.py. The inputs
+    here are PER-DEVICE batches: under GSPMD each shard runs at
+    global_batch / n_data devices."""
+    return (32 if batch_per_device <= 8 else 0, batch_per_device >= 64)
+
+
 def _dense_diag_weights(qw: np.ndarray) -> np.ndarray:
     """Depthwise OIHW [C,1,kh,kw] int8 -> dense [C,C,kh,kw] with the taps
     on the diagonal: dw3x3(x, w) == conv3x3(x, W), bit-exact (same int8
@@ -268,14 +280,16 @@ def execute_int8_fused(
     to ~1.5 GB/s at batch <= 8 (measured: the dense rewrite is 4.5x
     end-to-end at batch 8, +14% at batch 4, and a loss from batch 16 up
     — PERFORMANCE.md "small-batch serving")."""
-    if dw_dense_max_ch == "auto":
-        dw_dense_max_ch = 32 if x.shape[0] <= 8 else 0
-    if stem_s2d == "auto":
-        # s2d (12-ch k2s1 rewrite of the stem) wins +5% at batch 128 but
-        # LOSES at small batch (-14% at b=8, -6% at b=32, measured
-        # same-session in scripts/ab_s2d.py) — XLA's config for the
-        # packed stem degrades with few rows. Exact either way.
-        stem_s2d = x.shape[0] >= 64
+    if dw_dense_max_ch == "auto" or stem_s2d == "auto":
+        # NOTE: under GSPMD the leading dim here is the GLOBAL batch but
+        # XLA configures convs per-shard — sharded callers must resolve
+        # the policy with the PER-DEVICE batch and pass explicit values
+        # (parallel/eval.py does).
+        auto_dw, auto_stem = auto_config(x.shape[0])
+        if dw_dense_max_ch == "auto":
+            dw_dense_max_ch = auto_dw
+        if stem_s2d == "auto":
+            stem_s2d = auto_stem
     if model.bits_act != 8:
         # the fused epilogues clamp on the 8-bit grid; narrow-activation
         # regimes (A4/A6) run through the baseline engine, which threads

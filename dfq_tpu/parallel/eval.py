@@ -52,10 +52,18 @@ def make_sharded_forward(
             return execute_int8(int8_model, p, x)
 
     elif engine == "fused":
-        from dfq_tpu.engine.int8_fused import execute_int8_fused
+        from dfq_tpu.engine.int8_fused import auto_config, execute_int8_fused
+
+        n_data = int(mesh.shape[DATA_AXIS])
 
         def fwd(p, x):
-            return execute_int8_fused(int8_model, p, x)
+            # resolve the batch-dependent engine policy with the
+            # PER-DEVICE batch: x here is the global array but GSPMD
+            # configures every conv at global/n_data rows
+            dw, stem = auto_config(max(x.shape[0] // n_data, 1))
+            return execute_int8_fused(
+                int8_model, p, x, dw_dense_max_ch=dw, stem_s2d=stem
+            )
 
     elif engine == "sim":
 

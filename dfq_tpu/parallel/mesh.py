@@ -23,6 +23,12 @@ DATA_AXIS = "data"
 def data_mesh(n_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices exist (check "
+                "xla_force_host_platform_device_count)"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
 

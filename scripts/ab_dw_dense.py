@@ -45,8 +45,7 @@ def main():
     )()
 
     results = {}
-    b = batch
-    n_small, n_big = (2, 12) if b >= 64 else ((10, 60) if b >= 16 else (40, 240))
+    n_small, n_big = bench.loop_counts(batch)
     for thresh in args.thresholds:
         t = bench.step_time(
             lambda v: execute_int8_fused(
@@ -58,11 +57,11 @@ def main():
         )
         results[thresh] = batch / t
         print(f"# b{batch} dw_dense_max_ch={thresh}: {batch / t:.0f} img/s", file=sys.stderr)
-    base = results[0]
+    base = results[args.thresholds[0]]
     print(json.dumps({
-        "experiment": "dw_dense_max_ch A/B (same session, fused MNV2 b128)",
+        "experiment": f"dw_dense_max_ch A/B (same session, fused MNV2 b{batch})",
         "img_per_s": {str(k): round(v, 1) for k, v in results.items()},
-        "speedup_vs_0": {
+        "speedup_vs_first": {
             str(k): round(v / base, 3) for k, v in results.items()
         },
     }))

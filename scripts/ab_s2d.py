@@ -34,7 +34,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--variants", nargs="*", default=["reshape", "slices", "off"])
+    ap.add_argument("--variants", nargs="*", default=["reshape", "slices", "off"],
+                    choices=["reshape", "slices", "off"])
     args = ap.parse_args()
     bench.enable_compile_cache()
     bench.tunnel_warmup()
@@ -71,7 +72,7 @@ def main():
 
     results = {}
     b = batch
-    n_small, n_big = (2, 12) if b >= 64 else ((10, 60) if b >= 16 else (40, 240))
+    n_small, n_big = bench.loop_counts(b)
     for name in args.variants:
         int8_fused._space_to_depth2 = s2d_slices if name == "slices" else orig
         stem = name != "off"
@@ -85,7 +86,7 @@ def main():
         print(f"# b{batch} s2d={name}: {batch / t:.0f} img/s", file=sys.stderr)
     int8_fused._space_to_depth2 = orig
     print(json.dumps({
-        "experiment": "s2d stem A/B (same session, fused MNV2 b128)",
+        "experiment": f"s2d stem A/B (same session, fused MNV2 b{batch})",
         "img_per_s": {k: round(v, 1) for k, v in results.items()},
     }))
 

@@ -45,6 +45,13 @@ import jax
 if args.platform:
     jax.config.update("jax_platforms", args.platform)
 
+if args.mesh and len(jax.devices()) < args.mesh:
+    raise SystemExit(
+        f"--mesh {args.mesh} but only {len(jax.devices())} devices exist "
+        "(a pre-set xla_force_host_platform_device_count in XLA_FLAGS "
+        "wins over --mesh; unset it or make them agree)"
+    )
+
 from dfq_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()

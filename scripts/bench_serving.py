@@ -36,10 +36,7 @@ def main():
                 jax.random.PRNGKey(0), (b, 224, 224, 3), jnp.float32
             )
         )()
-        # sub-ms steps need long loops: keep >= ~50ms of loop signal so
-        # the slope rises above tunnel noise (b=1 with n=2/12 produced
-        # negative slopes)
-        n_small, n_big = (2, 12) if b >= 64 else ((10, 60) if b >= 16 else (40, 240))
+        n_small, n_big = bench.loop_counts(b)
         t = bench.step_time(
             lambda v: execute_int8_fused(model, prep.params, v), x,
             n_small=n_small, n_big=n_big, tag=f"mnv2 b{b}",

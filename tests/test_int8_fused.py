@@ -129,10 +129,25 @@ def test_dw_dense_diag_bit_exact():
         np.testing.assert_array_equal(dense, base), thresh
 
 
+def test_auto_policy_mapping():
+    """Pin the measured batch->config policy itself (a bit-exactness
+    comparison cannot catch a wrong mapping, since every setting
+    produces identical arrays): dense-diag dw for per-device batch <= 8,
+    s2d stem from batch 64 up."""
+    from dfq_tpu.engine.int8_fused import auto_config
+
+    assert auto_config(1) == (32, False)
+    assert auto_config(8) == (32, False)
+    assert auto_config(9) == (0, False)
+    assert auto_config(32) == (0, False)
+    assert auto_config(64) == (0, True)
+    assert auto_config(128) == (0, True)
+
+
 def test_dw_dense_auto_small_batch():
-    """The "auto" default turns the dense-diagonal dw rewrite on for
-    tiny batches (the measured XLA batch<=8 dw32 pathology) and off
-    otherwise — always bit-identical to the explicit setting."""
+    """The "auto" default resolves per the pinned policy and stays
+    bit-identical to the explicit setting (numeric safety net for the
+    rewrite itself)."""
     graph = mobilenet_v2()
     params = init_params(graph, seed=0, bn_stats="random")
     cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
