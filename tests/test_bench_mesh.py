@@ -29,3 +29,17 @@ def test_bench_mesh_cpu_harness():
     # vs_baseline is the n-device/1-device scaling factor; on a virtual
     # CPU mesh it just needs to be a positive finite number
     assert rec["vs_baseline"] > 0
+
+
+def test_loop_counts_ladder():
+    """Pin the batch->loop-count policy (sub-ms steps need long loops;
+    n=2/12 measured negative slopes at batch 1)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    assert bench.loop_counts(1) == (40, 240)
+    assert bench.loop_counts(8) == (40, 240)
+    assert bench.loop_counts(16) == (10, 60)
+    assert bench.loop_counts(32) == (10, 60)
+    assert bench.loop_counts(64) == (2, 12)
+    assert bench.loop_counts(256) == (2, 12)
