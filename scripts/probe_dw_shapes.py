@@ -17,6 +17,9 @@ early high-resolution layers that dominate MNV2's time.
 
 Output: one line per (C, H, stride): t_us and effective GB/s (2*N*H*W*C
 int8 bytes) for grouped-XLA vs dense-diagonal, plus the winner.
+Loop counts are sized for sub-ms ops (n=16/96): the first run with
+n=4/24 produced noise-limited (even negative) slopes on the <100us
+shapes.
 """
 
 import json
@@ -38,7 +41,7 @@ from jax import lax
 N_BATCH = 128
 
 
-def slope_time(make_loop, n_small=4, n_big=24, repeats=3, tag="", prime=None):
+def slope_time(make_loop, n_small=16, n_big=96, repeats=3, tag="", prime=None):
     """Per-step time via the slope between two chained loops (pure
     device-side data dependence, scalar fetch only). ``prime`` is a
     (fn, args) pair AOT-compiled FIRST: compiling an int8 conv initially
