@@ -175,25 +175,43 @@ def bench_model(which: str, batch: int, dw_dense: int = 0):
     )()
     fp_graph = graph.map_ops({"relu6": "relu"})
 
+    # noise-floor loop ladder: sub-ms steps need long loops or the
+    # slope drowns in tunnel noise (round-3 advisor finding: the ladder
+    # existed but bench_model never applied it)
+    n_small, n_big = loop_counts(batch)
     t_fused = step_time(
         lambda v: execute_int8_fused(
             model, prep.params, v, dw_dense_max_ch=dw_dense
         ),
         x,
+        n_small=n_small,
+        n_big=n_big,
         tag=f"{which} int8_fused" + (f" dwdense{dw_dense}" if dw_dense else ""),
     )
     t_int8 = step_time(
-        lambda v: execute_int8(model, prep.params, v), x, tag=f"{which} int8"
+        lambda v: execute_int8(model, prep.params, v),
+        x,
+        n_small=n_small,
+        n_big=n_big,
+        tag=f"{which} int8",
     )
     t_fp = step_time(
-        lambda v: execute(fp_graph, params, v), x, tag=f"{which} fp32"
+        lambda v: execute(fp_graph, params, v),
+        x,
+        n_small=n_small,
+        n_big=n_big,
+        tag=f"{which} fp32",
     )
     print(
         f"# {which}: int8 baseline {batch / t_int8:.0f} img/s, "
         f"fused {batch / t_fused:.0f} img/s, f32 {batch / t_fp:.0f} img/s",
         file=sys.stderr,
     )
-    ips_int8 = batch / min(t_fused, t_int8)
+    # headline = the FUSED engine, the justified production default —
+    # a fused regression must move the headline rather than hide behind
+    # min() of both engines (round-3 verdict weak #5). The baseline
+    # engine's number stays on stderr above as the recorded contrast.
+    ips_int8 = batch / t_fused
     ips_fp = batch / t_fp
     name = "mobilenetv2" if which == "mnv2" else "resnet18"
     return {

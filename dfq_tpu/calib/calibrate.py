@@ -2,16 +2,26 @@
 
 Behavioral contract: reference ``update_quant_range``
 (``/root/reference/improve_dfq.py:280-297``) with
-``QuantMeasure.update_stat`` semantics
-(``utils/quantize.py:103-107``): per batch, each site's statistic is the
-batch-mean of per-sample min/max; running ranges start at 0 and expand
-(``running_min = min(running_min, stat)``), so the final range always
-contains 0. The input site is finally pinned to the preprocessing range.
+``QuantMeasure.forward`` semantics (``utils/quantize.py:103-119``) in the
+state the reference actually reaches it: every QuantMeasure in the +DR
+path is freshly constructed by ``set_layer_bits`` / ``switch_layers``
+AFTER the script's ``model.eval()`` (``main_cls.py:84``), and the next
+``model.eval()`` only happens after calibration (``main_cls.py:196-197``)
+— so during ``update_quant_range`` each QuantMeasure runs BOTH its
+``update_stat`` branch and its ``self.training`` branch:
 
-The reference records stats through mutable QuantMeasure buffers while
-quantizing with the ranges accumulated so far; here each batch runs the
-jitted ``capture="minmax"`` forward with the current ranges applied, then
-ranges are merged functionally.
+1. stat = batch-mean of per-sample min/max of the input,
+2. ``running <- extreme(running, stat)``       (update_stat merge),
+3. ``running <- running*(1-m) + stat*m``, m=0.1 (training EMA),
+4. the site quantizes with the BATCH STAT itself (training branch),
+   not the running range — so the forwards are independent of the
+   running recurrence.
+
+Running ranges start at 0; after the merge-then-EMA recurrence the final
+range still always contains 0 (the merge keeps the sign, the EMA shrinks
+toward the stat by at most 10% per batch). The input site is finally
+pinned to the preprocessing range. Whole-model equality against the
+reference's own code: ``tests/test_reference_parity_dr.py``.
 """
 
 from __future__ import annotations
@@ -37,25 +47,30 @@ def calibrate_ranges(
 ) -> Dict[str, Tuple[float, float]]:
     sites = quant_sites(graph)
     ranges: Dict[str, Tuple[float, float]] = {s: (0.0, 0.0) for s in sites}
+    momentum = 0.1  # QuantMeasure default (utils/quantize.py:90)
 
     @jax.jit
-    def observe(p, x, act_ranges):
+    def observe(p, x):
+        # self_quant = the QuantMeasure training branch: each site
+        # quantizes with THIS batch's stat, so the forward does not
+        # depend on the running ranges at all
         _, aux = execute(
-            graph, p, x, act_ranges=act_ranges, bits_act=bits_act, capture="minmax"
+            graph, p, x, bits_act=bits_act, capture="minmax", self_quant=True
         )
         return aux
 
-    first = True
     for batch in batches:
-        x = jnp.asarray(batch, jnp.float32)
-        # first batch observes unquantized; later batches run under the
-        # ranges accumulated so far (QuantMeasure updates-then-quantizes)
-        aux = observe(params, x, {} if first else ranges)
-        first = False
+        aux = observe(params, jnp.asarray(batch, jnp.float32))
         for s in sites:
-            mn, mx = aux[s]
+            mn, mx = float(aux[s][0]), float(aux[s][1])
             lo, hi = ranges[s]
-            ranges[s] = (min(lo, float(mn)), max(hi, float(mx)))
+            # update_stat merge, then training-mode EMA (both branches
+            # run — see module docstring)
+            lo, hi = min(lo, mn), max(hi, mx)
+            ranges[s] = (
+                lo * (1.0 - momentum) + mn * momentum,
+                hi * (1.0 - momentum) + mx * momentum,
+            )
 
     # pin the network-input site (improve_dfq.py:288-296)
     for node in graph:

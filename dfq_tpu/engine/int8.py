@@ -145,6 +145,70 @@ def _quantize_act(x, layer: Int8Layer, qmax: float = 255.0):
     return q.astype(jnp.int8)
 
 
+def _b2s_applicable(node, h: int) -> bool:
+    """Whether the batch-to-space fold is exact for this conv shape."""
+    a = node.attrs
+    kh, _ = a["kernel"]
+    sh, _ = a["stride"]
+    ph, _ = a["padding"]
+    return (
+        a["dilation"] == (1, 1)
+        and kh >= sh
+        and ph > 0  # the seam IS the per-image padding; p=0 has no seam
+        and (h + 2 * ph) % sh == 0
+    )
+
+
+def _int8_conv_b2s(xq, node, qw_hwio, zp: int):
+    """Batch-to-space fold of an int8 conv: stack the batch along H with
+    zero-point seam rows so XLA sees a batch-1, B*(H+2p)-tall image.
+
+    Bit-exact by construction: each image is individually padded with
+    ``zp`` rows (exactly what :func:`_int8_conv` would inject), the
+    padded blocks are concatenated along H, and a VALID conv is run over
+    the stack. Because every block is ``h + 2p`` rows (a multiple of the
+    stride), block starts land on the stride grid, so block ``i``'s
+    first ``out_h`` output rows are exactly the per-image conv's
+    outputs; the ``(2p + k - s)/s`` rows computed across each seam are
+    garbage and sliced away after an exact reshape. Rationale: XLA's
+    conv configs for batch 16-64 at MNV2's early spatial sizes collapse
+    to 17-31 GB/s (PERFORMANCE.md "small-batch serving"); the fold
+    presents those convs with the batch-128-shaped problem they run
+    well at."""
+    a = node.attrs
+    kh, _ = a["kernel"]
+    sh, sw = a["stride"]
+    ph, pw = a["padding"]
+    b, h, w, c = xq.shape
+    hp = h + 2 * ph
+    xq = jnp.pad(
+        xq,
+        ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+        constant_values=np.int8(zp),
+    )
+    xf = xq.reshape(1, b * hp, w + 2 * pw, c)
+    # trailing zp rows so the VALID conv emits exactly b * hp/s rows
+    if kh - sh > 0:
+        xf = jnp.pad(
+            xf,
+            ((0, 0), (0, kh - sh), (0, 0), (0, 0)),
+            constant_values=np.int8(zp),
+        )
+    acc = lax.conv_general_dilated(
+        xf,
+        qw_hwio,
+        window_strides=(sh, sw),
+        padding=((0, 0), (0, 0)),
+        rhs_dilation=a["dilation"],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=a["groups"],
+        preferred_element_type=jnp.int32,
+    )
+    out_h = (hp - kh) // sh + 1
+    acc = acc.reshape(b, hp // sh, acc.shape[2], acc.shape[3])
+    return acc[:, :out_h]
+
+
 def _int8_conv(xq, node, qw_hwio, zp: int):
     """int8 conv with correct zero-point padding: real 0 quantizes to
     ``zp``, so spatial padding must inject ``zp`` (XLA pads 0) before the

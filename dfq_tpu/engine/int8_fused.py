@@ -36,7 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from dfq_tpu.engine.int8 import Int8Model, _int8_conv
+from dfq_tpu.engine.int8 import (
+    Int8Model,
+    _b2s_applicable,
+    _int8_conv,
+    _int8_conv_b2s,
+)
 from dfq_tpu.graph.ir import Graph
 
 
@@ -264,6 +269,9 @@ def execute_int8_fused(
     stem_s2d="auto",
     fuse_blocks: bool = False,
     dw_dense_max_ch="auto",
+    per_device_batch: int | None = None,
+    b2s_min_h: int = 0,
+    profile_barriers: bool = False,
 ):
     """``use_pallas=True`` routes pointwise convs / linear layers through
     the Pallas int8 matmul kernel and stride-1 depthwise 3x3 convs
@@ -279,13 +287,21 @@ def execute_int8_fused(
     batches: XLA's grouped-conv config for the C=32 112^2 dw collapses
     to ~1.5 GB/s at batch <= 8 (measured: the dense rewrite is 4.5x
     end-to-end at batch 8, +14% at batch 4, and a loss from batch 16 up
-    — PERFORMANCE.md "small-batch serving")."""
+    — PERFORMANCE.md "small-batch serving").
+
+    ``b2s_min_h``: batch-to-space fold (bit-exact, see
+    ``engine/int8.py:_int8_conv_b2s``) for k3p1 convs with input
+    H >= this; 0 disables. ``profile_barriers``: profiling-only mode
+    that stops dw convs fusing into neighbors so traces carry true dw
+    rows. ``per_device_batch``: resolve the "auto" policies against this
+    instead of ``x.shape[0]`` (sharded callers: pass global/n_data)."""
     if dw_dense_max_ch == "auto" or stem_s2d == "auto":
         # NOTE: under GSPMD the leading dim here is the GLOBAL batch but
-        # XLA configures convs per-shard — sharded callers must resolve
-        # the policy with the PER-DEVICE batch and pass explicit values
-        # (parallel/eval.py does).
-        auto_dw, auto_stem = auto_config(x.shape[0])
+        # XLA configures convs per-shard — sharded callers must either
+        # pass ``per_device_batch`` (global/n_data) or resolve the
+        # policy themselves and pass explicit values (parallel/eval.py
+        # does the latter).
+        auto_dw, auto_stem = auto_config(per_device_batch or x.shape[0])
         if dw_dense_max_ch == "auto":
             dw_dense_max_ch = auto_dw
         if stem_s2d == "auto":
@@ -487,7 +503,17 @@ def execute_int8_fused(
                     acc = _int8_conv(xq, node_d, qw, layer.in_zp)
                 else:
                     qw = jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
-                    acc = _int8_conv(xq, node, qw, layer.in_zp)
+                    if (
+                        b2s_min_h
+                        and xq.shape[0] > 1
+                        and xq.shape[1] >= b2s_min_h
+                        and _b2s_applicable(node, xq.shape[1])
+                    ):
+                        # batch-to-space fold (bit-exact; see
+                        # engine/int8.py:_int8_conv_b2s)
+                        acc = _int8_conv_b2s(xq, node, qw, layer.in_zp)
+                    else:
+                        acc = _int8_conv(xq, node, qw, layer.in_zp)
             else:
                 acc = lax.dot_general(
                     xq, jnp.asarray(layer.qweight).T,
@@ -617,13 +643,29 @@ def execute_int8_fused(
             emit(name, out)
 
 
+    def _barrier_val(v):
+        if isinstance(v, QTensor):
+            return QTensor(lax.optimization_barrier(v.q), v.scale, v.zp)
+        return lax.optimization_barrier(v)
+
     for node in graph:
         if node.op == "input" or node.name in done:
             continue
+        # profiling-only mode: optimization_barrier around depthwise
+        # convs so XLA cannot fuse them into neighbor fusions — device
+        # traces then carry TRUE dw rows instead of dw time riding on a
+        # neighbor's row (round-3 trace aliasing). Changes scheduling,
+        # so never enabled on the serving path.
+        is_dw = node.op == "conv" and node.attrs.get("groups", 1) > 1
+        if profile_barriers and is_dw:
+            for i in node.inputs:
+                env[i] = _barrier_val(env[i])
         # named scope labels every HLO with its graph-node for
         # per-layer attribution in device traces (utils/profiling)
         with jax.named_scope(node.name):
             _exec_node(node)
+        if profile_barriers and is_dw and node.name in env:
+            env[node.name] = _barrier_val(env[node.name])
 
     outs: List[jnp.ndarray] = []
     for o in graph.outputs:

@@ -161,7 +161,9 @@ def main():
             ts[iters] = time.perf_counter() - t0
         slopes.append((ts[30] - ts[5]) / 25)
     slopes.sort()
-    t_step = slopes[len(slopes) // 2]
+    # lower-median, matching bench.step_time: tunnel hiccups only ever
+    # ADD time, so the lower of two middle samples is less contaminated
+    t_step = slopes[(len(slopes) - 1) // 2]
     print(
         "# distill step slopes (ms): "
         + ", ".join(f"{s * 1e3:.1f}" for s in slopes),

@@ -128,12 +128,30 @@ def make_case(C, H, stride, dense):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", type=str, nargs="*", default=None,
+                    help="subset as C,H,s triples, e.g. 144,56,1")
+    ap.add_argument("--n-small", type=int, default=0)
+    ap.add_argument("--n-big", type=int, default=0,
+                    help="0 = auto-size per shape so the big loop "
+                         "carries >= ~150ms of signal: at n=96 a "
+                         "~100us op contributes ~10ms of loop signal, "
+                         "below the tunnel's run-to-run noise (the "
+                         "round-3 C=144 56^2 s1 '10.5us' row implied "
+                         "11 TB/s, 13x HBM peak)")
+    args = ap.parse_args()
+
     # distinct MNV2 dw shapes: (C, input H at 224^2, stride)
     shapes = [
         (32, 112, 1), (96, 112, 2), (144, 56, 1), (144, 56, 2),
         (192, 28, 1), (192, 28, 2), (384, 14, 1), (576, 14, 1),
         (576, 14, 2), (960, 7, 1),
     ]
+    if args.shapes:
+        want = {tuple(int(v) for v in s.split(",")) for s in args.shapes}
+        shapes = [s for s in shapes if s in want]
     results = []
     for C, H, s in shapes:
         Ho = H // s
@@ -142,7 +160,18 @@ def main():
         for dense in (False, True):
             tag = f"C{C} H{H} s{s} {'dense' if dense else 'grouped'}"
             conv, xin, loop = make_case(C, H, s, dense)
-            t = slope_time(loop, tag=tag, prime=(conv, (xin,)))
+            if args.n_big:
+                n_small, n_big = args.n_small or args.n_big // 6, args.n_big
+            else:
+                # auto-size: big loop >= ~150ms of signal at an assumed
+                # HBM-peak rate (dense variants are slower, fine)
+                t_est = bytes_eff / 819e9
+                n_big = max(96, int(0.15 / t_est) // 96 * 96 + 96)
+                n_small = n_big // 6
+            t = slope_time(
+                loop, n_small=n_small, n_big=n_big,
+                tag=tag, prime=(conv, (xin,)),
+            )
             key = "dense" if dense else "grouped"
             row[f"t_us_{key}"] = round(t * 1e6, 1)
             row[f"gbps_{key}"] = round(bytes_eff / t / 1e9, 1)

@@ -82,6 +82,12 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dw-dense", type=int, default=0)
+    ap.add_argument("--barriers", action="store_true",
+                    help="optimization_barrier around dw convs so they "
+                         "cannot fuse into neighbor fusions: the trace "
+                         "then has TRUE dw rows (profiling-only mode; "
+                         "changes scheduling, so total ms is not the "
+                         "serving number)")
     ap.add_argument("--dump-raw", action="store_true")
     ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
@@ -106,7 +112,8 @@ def main():
 
     fwd = jax.jit(
         lambda v: execute_int8_fused(
-            model, prep.params, v, dw_dense_max_ch=args.dw_dense
+            model, prep.params, v, dw_dense_max_ch=args.dw_dense,
+            profile_barriers=args.barriers,
         )
     )
     t0 = time.time()
@@ -191,6 +198,7 @@ def main():
         kinds[r.get("kind", "other")] += r["ms"]
     print(json.dumps({
         "dw_dense_max_ch": args.dw_dense,
+        "barriers": args.barriers,
         "steps": steps,
         "total_device_ms_per_step": round(total / 1e12 * 1e3 / steps, 3),
         "attributed_ms_per_step": round(

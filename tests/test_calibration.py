@@ -70,7 +70,7 @@ def test_distillation_matches_bn_stats(model):
         assert mu_err < mu_err0, (bn, mu_err, mu_err0)
 
 
-def test_calibrate_ranges_covers_sites_and_contains_zero(model):
+def test_calibrate_ranges_covers_sites_and_recurrence(model):
     g, p = model
     gf, pf = fold_batchnorm(g, p)
     rng = np.random.default_rng(2)
@@ -80,9 +80,30 @@ def test_calibrate_ranges_covers_sites_and_contains_zero(model):
     ranges = calibrate_ranges(gf, pf, batches)
     sites = quant_sites(gf)
     assert set(ranges) == set(sites)
+
+    # independent emulation of the QuantMeasure state the reference
+    # actually calibrates in (update_stat merge + training EMA, batches
+    # self-quantized with their own stats — utils/quantize.py:103-113,
+    # reached in training mode per main_cls.py:84/196): per-batch stats
+    # from the self_quant forward, then the merge-then-EMA recurrence
+    stats = []
+    for b in batches:
+        _, aux = jax.jit(
+            lambda pp, v: execute(
+                gf, pp, v, capture="minmax", self_quant=True
+            )
+        )(pf, jnp.asarray(b))
+        stats.append({k: (float(v[0]), float(v[1])) for k, v in aux.items()})
     for s in sites:
-        lo, hi = ranges[s]
-        assert lo <= 0.0 <= hi  # running stats start at 0 (quantize.py:95-96)
+        if s == "c1:in0":
+            continue  # pinned below
+        lo = hi = 0.0
+        for st in stats:
+            mn, mx = st[s]
+            lo, hi = min(lo, mn), max(hi, mx)
+            lo, hi = lo * 0.9 + mn * 0.1, hi * 0.9 + mx * 0.1
+        assert ranges[s] == pytest.approx((lo, hi), rel=1e-6), s
+        assert lo < hi
     # input site pinned to the preprocessing range
     assert ranges["c1:in0"] == (-2.11790393, 2.64)
 

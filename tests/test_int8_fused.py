@@ -129,6 +129,57 @@ def test_dw_dense_diag_bit_exact():
         np.testing.assert_array_equal(dense, base), thresh
 
 
+def test_b2s_fold_bit_exact():
+    """The batch-to-space fold (stack the batch along H with zero-point
+    seam rows, VALID conv, slice) must be bit-identical to the per-image
+    path — for stride-1 AND stride-2 k3p1 convs (MNV2 has both), at an
+    odd batch, and composed with the s2d stem on/off."""
+    graph = mobilenet_v2()
+    params = init_params(graph, seed=0, bn_stats="random")
+    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    prep = prepare(graph, params, cfg)
+    model = lower_int8(prep)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        np.clip(rng.normal(0, 1, (3, 64, 64, 3)), -2.117, 2.64), jnp.float32
+    )
+    for stem in (False, True):
+        base = np.asarray(
+            jax.jit(
+                lambda v: execute_int8_fused(
+                    model, prep.params, v, stem_s2d=stem, dw_dense_max_ch=0
+                )
+            )(x)
+        )
+        for min_h in (1, 16):
+            b2s = np.asarray(
+                jax.jit(
+                    lambda v: execute_int8_fused(
+                        model, prep.params, v,
+                        stem_s2d=stem, dw_dense_max_ch=0, b2s_min_h=min_h,
+                    )
+                )(x)
+            )
+            np.testing.assert_array_equal(b2s, base), (stem, min_h)
+    # profile_barriers is a scheduling-only mode: outputs bit-identical
+    barr = np.asarray(
+        jax.jit(
+            lambda v: execute_int8_fused(
+                model, prep.params, v, stem_s2d=False, dw_dense_max_ch=0,
+                profile_barriers=True,
+            )
+        )(x)
+    )
+    base0 = np.asarray(
+        jax.jit(
+            lambda v: execute_int8_fused(
+                model, prep.params, v, stem_s2d=False, dw_dense_max_ch=0
+            )
+        )(x)
+    )
+    np.testing.assert_array_equal(barr, base0)
+
+
 def test_auto_policy_mapping():
     """Pin the measured batch->config policy itself (a bit-exactness
     comparison cannot catch a wrong mapping, since every setting

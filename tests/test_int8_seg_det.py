@@ -100,7 +100,11 @@ def test_deeplab_int8_engines_match_sim(deeplab_int8):
 
 def test_ssd_lowers_heads(ssd_int8):
     prep, model = ssd_int8
-    # the conv-without-BN regression/classification heads are lowered
+    # the conv-without-BN regression/classification heads ALL carry
+    # ranges (case-d weight propagation through the lite heads' BN-less
+    # dw+pw pairs, passes/range_setter.py; reference
+    # utils/layer_transform.py:459-475) and ALL lower — the detection
+    # int8 path has zero f32 fallbacks
     heads = [
         n.name for n in prep.graph
         if n.op == "conv" and (
@@ -108,10 +112,13 @@ def test_ssd_lowers_heads(ssd_int8):
         )
     ]
     assert len(heads) >= 12, heads  # 6 feature maps x 2 heads
-    missing = [h for h in heads if h not in model.layers and ".0" in h]
-    # the depthwise+pointwise lite heads: at least the pointwise parts
-    # carry ranges and lower
-    assert len(missing) < len(heads) // 2, missing
+    no_range = [h for h in heads if f"{h}:in0" not in prep.act_ranges]
+    assert no_range == [], no_range
+    missing = [h for h in heads if h not in model.layers]
+    assert missing == [], missing
+    # and not only the heads: EVERY conv/linear in the SSD graph lowers
+    all_cl = [n.name for n in prep.graph if n.op in ("conv", "linear")]
+    assert sorted(model.layers) == sorted(all_cl)
 
 
 def test_ssd_int8_engines_match_sim(ssd_int8):

@@ -51,6 +51,21 @@ def test_layer_costs_and_roofline():
     )
     assert rep3["t_sol_s"] > rep["t_sol_s"]
 
+    # achievable (lane-padded) bound: physical bytes >= logical bytes,
+    # so the achievable bound is never faster than the logical one;
+    # narrow-channel layers (C=8/4 here vs 128 lanes) inflate hard
+    assert rep["total_bytes_padded"] >= rep["total_bytes"]
+    assert (
+        rep["sol_achievable_images_per_s"] <= rep["sol_images_per_s"] + 1e-9
+    )
+    c2 = {c["name"]: c for c in rep["layers"]}["c2"]
+    assert c2["bytes_padded"] > 5 * c2["bytes"]  # C=8->128, C=4->128
+    assert c2["t_achievable_s"] >= c2["t_sol_s"] * (1 - 1e-9)
+    # the top-level bound label derives from the per-layer terms
+    assert 0.0 <= rep["memory_bound_time_fraction"] <= 1.0
+    expect = "memory" if rep["memory_bound_time_fraction"] >= 0.5 else "compute"
+    assert rep["bound"] == expect
+
 
 def test_learn_scales_refines_without_degrading():
     import jax
