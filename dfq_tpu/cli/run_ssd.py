@@ -41,6 +41,10 @@ def get_argument():
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--2007_metric", dest="metric_2007", action="store_true")
+    p.add_argument("--device-nms", action="store_true",
+                   help="run box decode + per-class hard-NMS on the "
+                        "accelerator (device_nms.decode_nms) instead of "
+                        "host numpy; same keep-set, ~75x less fetched")
     p.add_argument("--iou_threshold", type=float, default=0.5)
     return p.parse_args()
 
@@ -187,7 +191,10 @@ def main():
     # the reference fake-quantizes the prior boxes when quantizing
     # (mobilenet_v2_ssd_lite.py:57-59)
     priors = quantized_priors(config) if args.quantize else config.priors
-    predictor = Predictor(lambda x: fwd(jnp.asarray(x)), config, priors=priors)
+    predictor = Predictor(
+        lambda x: fwd(jnp.asarray(x)), config, priors=priors,
+        device_nms=args.device_nms,
+    )
 
     mean_ap = None
     if args.data_dir:

@@ -27,6 +27,7 @@ class Predictor:
         nms_method: Optional[str] = None,
         sigma: float = 0.5,
         filter_threshold: float = 0.01,
+        device_nms: bool = False,
     ):
         self.forward_fn = forward_fn
         self.config = config
@@ -38,6 +39,11 @@ class Predictor:
         self.nms_method = nms_method
         self.sigma = sigma
         self.filter_threshold = filter_threshold
+        # device_nms: run decode + greedy hard-NMS ON the accelerator
+        # (dfq_tpu.detection.device_nms) — same keep-set as the host
+        # path (tests/test_device_nms.py), ~4KB fetched per image
+        # instead of the raw 300KB conf/loc. hard-NMS only.
+        self.device_nms = device_nms and nms_method != "soft"
 
     def preprocess(self, image: np.ndarray) -> np.ndarray:
         """HWC uint8/float RGB -> normalized NHWC f32 (reference
@@ -58,6 +64,21 @@ class Predictor:
         height, width = image.shape[:2]
         x = self.preprocess(image)
         conf, loc = self.forward_fn(x)
+        if self.device_nms:
+            from dfq_tpu.detection.device_nms import predict_on_device
+
+            return predict_on_device(
+                conf[0],
+                loc[0],
+                self.priors,
+                (height, width),
+                prob_threshold=float(prob_threshold or self.filter_threshold),
+                iou_threshold=float(self.iou_threshold),
+                candidate_size=self.candidate_size,
+                top_k=int(top_k) if top_k > 0 else 200,
+                center_variance=float(self.config.center_variance),
+                size_variance=float(self.config.size_variance),
+            )
         conf = np.asarray(conf)[0]
         loc = np.asarray(loc)[0]
 

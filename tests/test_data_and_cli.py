@@ -285,6 +285,24 @@ def test_run_ssd_main_int8_with_data(voc_tree, tmp_path, monkeypatch, capsys):
     assert logged["engine"] == "int8"
 
 
+def test_run_ssd_main_device_nms(voc_tree, tmp_path, monkeypatch, capsys):
+    """Same CLI flow with --device-nms: decode + hard-NMS run on the
+    accelerator (device_nms.decode_nms); mAP must still come out."""
+    from dfq_tpu.cli import run_ssd
+
+    monkeypatch.chdir(tmp_path)
+    _run_cli(
+        monkeypatch, run_ssd,
+        ["run_ssd", "--quantize", "--relu", "--equalize", "--engine", "fused",
+         "--data-dir", voc_tree, "--split", "test", "--limit", "2",
+         "--2007_metric", "--device-nms", "--log"],
+    )
+    out = capsys.readouterr().out
+    assert "mAP:" in out
+    logged = json.loads((tmp_path / "ssd_result.txt").read_text().splitlines()[-1])
+    assert logged["mAP"] is not None
+
+
 def test_convert_main_exports_both_artifacts(tmp_path, monkeypatch, capsys):
     from dfq_tpu.cli import convert
 
