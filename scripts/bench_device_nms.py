@@ -1,0 +1,105 @@
+"""Device-side decode+NMS throughput on the real chip, vs the measured
+host post-process (SERVING_r04.json: 2.4-10.4 ms/image single-threaded
+numpy while the b=1 forward is 0.53 ms).
+
+Times ``decode_nms`` standalone (slope method; conf/loc generated
+on-device) at the reference's eval threshold (0.01 — with near-uniform
+scores everything passes, the dense worst case) and at a sparse
+deployment threshold (0.4). Also times forward+decode+nms as ONE jitted
+program — the deployable predict path whose host boundary is the packed
+(20, top_k) result (~4KB) instead of 300KB of raw heads.
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import bench
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dfq_tpu.detection.device_nms import decode_nms
+    from dfq_tpu.engine import lower_int8
+    from dfq_tpu.engine.int8_fused import execute_int8_fused
+    from dfq_tpu.models import init_params, mobilenet_v2_ssd_lite
+    from dfq_tpu.models.ssd import SSDConfig
+    from dfq_tpu.pipeline import QuantConfig, prepare
+
+    bench.enable_compile_cache()
+    bench.tunnel_warmup()
+
+    cfg = SSDConfig()
+    priors = jnp.asarray(cfg.priors)
+
+    g = mobilenet_v2_ssd_lite(num_classes=21)
+    p = init_params(g, seed=0, bn_stats="random")
+    prep = prepare(
+        g, p,
+        QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16,
+                    is_detection=True),
+    )
+    model = lower_int8(prep)
+
+    out = {}
+    # standalone post-process (single image), both thresholds
+    key = jax.random.PRNGKey(0)
+    logits = jax.jit(
+        lambda: jax.random.normal(key, (3000, 21), jnp.float32) * 2.0
+    )()
+    conf = jax.nn.softmax(logits, -1)
+    loc = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(1), (3000, 4), jnp.float32)
+    )()
+
+    for thr in (0.01, 0.4):
+        def post(c):
+            b, s, v = decode_nms(
+                c, loc, priors, prob_threshold=thr, iou_threshold=0.45,
+                candidate_size=200, top_k=10,
+            )
+            return jnp.sum(b) + jnp.sum(s) + jnp.sum(v)
+
+        t = bench.step_time(post, conf, n_small=40, n_big=240,
+                            tag=f"decode_nms thr{thr}")
+        out[f"decode_nms_ms_thr{thr}"] = round(t * 1e3, 3)
+        print(f"# decode_nms thr={thr}: {t * 1e3:.3f} ms/image",
+              file=sys.stderr)
+
+    # fused forward + decode + nms in ONE program, batch 1 and 8
+    for b in (1, 8):
+        x = jax.jit(
+            lambda b=b: jax.random.uniform(
+                jax.random.PRNGKey(2), (b, 300, 300, 3), jnp.float32,
+                minval=-1.0, maxval=1.0,
+            )
+        )()
+
+        def predict(v):
+            conf_b, loc_b = execute_int8_fused(model, prep.params, v)
+            bx, sc, va = jax.vmap(
+                lambda c, l: decode_nms(
+                    c, l, priors, prob_threshold=0.4, iou_threshold=0.45,
+                    candidate_size=200, top_k=10,
+                )
+            )(conf_b, loc_b)
+            return jnp.sum(bx) + jnp.sum(sc) + jnp.sum(va)
+
+        n_small, n_big = bench.loop_counts(b)
+        t = bench.step_time(predict, x, n_small=n_small, n_big=n_big,
+                            tag=f"predict_e2e b{b}")
+        out[f"predict_e2e_b{b}"] = {
+            "ms": round(t * 1e3, 3),
+            "img_per_s": round(b / t, 1),
+        }
+        print(f"# e2e predict b={b}: {t * 1e3:.3f} ms, {b / t:.0f} img/s",
+              file=sys.stderr)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
