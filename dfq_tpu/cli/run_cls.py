@@ -55,6 +55,11 @@ def get_argument():
                    help="max val images")
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--save-artifact", type=str, default=None)
+    p.add_argument("--aot-batch", type=int, default=0,
+                   help="also serialize the compiled fused forward for "
+                        "this batch size into the artifact (cache-less "
+                        "~0.1s cold start on matching hardware; "
+                        "dfq_tpu.io.aot)")
     p.add_argument("--stream", action="store_true",
                    help="streaming eval: keep 2 batches in flight so "
                         "host decode+transfer overlap device compute")
@@ -165,6 +170,17 @@ def main():
             }
             save_artifact(args.save_artifact, model, residual)
             print(f"artifact saved to {args.save_artifact}")
+            if args.aot_batch:
+                # serialize the compiled fused forward into the
+                # artifact: a fresh machine (same device kind + jax
+                # version) cold-starts in ~0.1s with no compile cache
+                from dfq_tpu.io.aot import save_aot_forward
+
+                b = args.aot_batch
+                xs = jnp.zeros((b, 224, 224, 3), jnp.float32)
+                compiled = fwd.lower(xs).compile()
+                save_aot_forward(args.save_artifact, compiled, b, 224)
+                print(f"AOT executable (batch {b}) saved into the artifact")
     else:
         wb = cfg.bits_weight if (cfg.trainable and cfg.quantize) else None
         fwd = jax.jit(
