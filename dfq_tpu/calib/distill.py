@@ -48,6 +48,15 @@ class DistillConfig:
     plateau_patience: int = 100
     plateau_factor: float = 0.1
     min_lr: float = 1e-7
+    # "bf16" (default) runs the forward/backward network math on the
+    # MXU's native bf16 path; Adam state, the synthesized images, the
+    # BN statistics, and the loss all stay f32. The BN-statistics loss
+    # only needs the statistics, not exact activations — measured
+    # same-session A/B (DISTILL_r04.json): 12.2 vs 29.0 ms/step
+    # (2.38x) at b64/224^2 with matching loss trajectories
+    # (13131.6 vs 13134.6 after 30 iters). "f32" restores exact
+    # reference-precision synthesis.
+    compute_dtype: str = "bf16"
 
 
 def _bn_targets(graph: Graph, params) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
@@ -81,10 +90,32 @@ def init_random_batch(rng: np.random.Generator, cfg: DistillConfig) -> np.ndarra
 
 def make_loss_fn(graph: Graph, params, cfg: DistillConfig):
     targets = _bn_targets(graph, params)
+    bf16 = cfg.compute_dtype == "bf16"
+    if bf16:
+        import jax.tree_util as jtu
+        from jax import lax
+
+        params_c = jtu.tree_map(
+            lambda v: jnp.asarray(v, jnp.bfloat16)
+            if jnp.asarray(v).dtype == jnp.float32
+            else v,
+            dict(params),
+        )
+        prec = lax.Precision.DEFAULT
+    else:
+        from jax import lax
+
+        params_c, prec = params, lax.Precision.HIGHEST
 
     def loss_fn(x):
         xc = jnp.clip(x, cfg.value_range[0], cfg.value_range[1])
-        _, aux = execute(graph, params, xc, capture="bn_inputs")
+        if bf16:
+            xc = xc.astype(jnp.bfloat16)
+        # capture="bn_inputs" computes the per-BN statistics in f32
+        # either way (executor casts), so the loss below is f32
+        _, aux = execute(
+            graph, params_c, xc, capture="bn_inputs", precision=prec
+        )
         loss = 0.0
         for name, (mu_t, sd_t) in targets.items():
             mean_b, std_b = aux[name]  # [B, C] each

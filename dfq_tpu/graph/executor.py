@@ -30,35 +30,37 @@ from dfq_tpu.graph.ir import Graph, node_sites
 from dfq_tpu.quant.core import fake_quant
 
 
-def _conv(x, node, p):
+def _conv(x, node, p, precision=lax.Precision.HIGHEST):
     w = p["weight"]  # OIHW
     attrs = node.attrs
     w_hwio = jnp.transpose(w, (2, 3, 1, 0))
     ph, pw = attrs["padding"]
     out = lax.conv_general_dilated(
         x,
-        w_hwio,
+        w_hwio.astype(x.dtype),
         window_strides=attrs["stride"],
         padding=((ph, ph), (pw, pw)),
         rhs_dilation=attrs["dilation"],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=attrs["groups"],
-        # full-f32 accumulation: the quantization simulation's accuracy
-        # contract requires exact float math (low-precision passes would
-        # alias with the quantization error being measured)
-        precision=lax.Precision.HIGHEST,
+        # default: full-f32 accumulation — the quantization simulation's
+        # accuracy contract requires exact float math (low-precision
+        # passes would alias with the quantization error being
+        # measured). Distillation may relax to bf16 (measured safe for
+        # the BN-statistics loss; calib/distill.py compute_dtype).
+        precision=precision,
     )
     b = p.get("bias")
     if b is not None:
-        out = out + b
+        out = out + b.astype(out.dtype)
     return out
 
 
-def _linear(x, node, p):
-    out = jnp.dot(x, p["weight"].T, precision=lax.Precision.HIGHEST)
+def _linear(x, node, p, precision=lax.Precision.HIGHEST):
+    out = jnp.dot(x, p["weight"].T.astype(x.dtype), precision=precision)
     b = p.get("bias")
     if b is not None:
-        out = out + b
+        out = out + b.astype(out.dtype)
     return out
 
 
@@ -142,6 +144,7 @@ def execute(
     self_quant: bool = False,
     weight_bits: Optional[int] = None,
     bias_bits: int = 16,
+    precision=lax.Precision.HIGHEST,
 ):
     """Run the graph. Returns output (or tuple of outputs), plus an aux
     dict when ``capture`` is set.
@@ -210,12 +213,14 @@ def execute(
             if b is not None and bias_bits < 32:
                 p["bias"] = fake_quant(b, jnp.min(b), jnp.max(b), bits=bias_bits)
         if op == "conv":
-            out = _conv(ins[0], node, p)
+            out = _conv(ins[0], node, p, precision=precision)
         elif op == "linear":
-            out = _linear(ins[0], node, p)
+            out = _linear(ins[0], node, p, precision=precision)
         elif op == "bn":
             if capture == "bn_inputs":
-                v = ins[0]
+                # statistics always in f32 (bf16 compute_dtype runs
+                # would otherwise lose the loss targets' precision)
+                v = ins[0].astype(jnp.float32)
                 red = (1, 2) if v.ndim == 4 else tuple(range(1, v.ndim - 1))
                 mean = jnp.mean(v, axis=red)
                 # unbiased std over the reduced elements (torch.std default,
@@ -233,7 +238,7 @@ def execute(
             if capture == "bn_inputs" and "stat_std" in p:
                 # folded BN: distillation targets come from stat buffers;
                 # still capture the input stats at this site.
-                v = ins[0]
+                v = ins[0].astype(jnp.float32)
                 red = (1, 2) if v.ndim == 4 else tuple(range(1, v.ndim - 1))
                 mean = jnp.mean(v, axis=red)
                 n_el = 1

@@ -31,6 +31,10 @@ _ARGS.add_argument("--mesh", type=int, default=None,
 _ARGS.add_argument("--platform", type=str, default=None)
 _ARGS.add_argument("--batch", type=int, default=None)
 _ARGS.add_argument("--size", type=int, default=None)
+_ARGS.add_argument("--compute-dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="network math dtype for the synthesis step "
+                        "(bf16 = MXU-native; stats/loss/Adam stay f32)")
 args = _ARGS.parse_args()
 
 if args.platform == "cpu" and args.mesh:
@@ -139,6 +143,7 @@ def main():
         cfg = DistillConfig(
             batch_size=BATCH, image_size=(SIZE, SIZE),
             max_iters=iters, early_break_factor=0.0,
+            compute_dtype=args.compute_dtype,
         )
         run = distill_batch_fn(gf, pf, cfg)
         t0 = time.time()
@@ -164,6 +169,8 @@ def main():
     # lower-median, matching bench.step_time: tunnel hiccups only ever
     # ADD time, so the lower of two middle samples is less contaminated
     t_step = slopes[(len(slopes) - 1) // 2]
+    print(
+        f"# compute_dtype={args.compute_dtype}", file=sys.stderr)
     print(
         "# distill step slopes (ms): "
         + ", ".join(f"{s * 1e3:.1f}" for s in slopes),

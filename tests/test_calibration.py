@@ -149,6 +149,31 @@ def test_bias_correction_distill_recenters(model):
     assert np.abs(mc["c1"] - mf["c1"]).mean() < np.abs(mq["c1"] - mf["c1"]).mean() * 0.1
 
 
+def test_distill_bf16_converges_like_f32(model):
+    """compute_dtype="bf16" (MXU-native network math; stats/loss/Adam
+    stay f32) must converge to the same loss neighborhood as f32 — the
+    BN-statistics loss only consumes statistics, which the executor
+    computes in f32 either way."""
+    from dfq_tpu.calib.distill import distill_batch_fn, init_random_batch
+
+    g, p = model
+    losses = {}
+    for dt in ("f32", "bf16"):
+        cfg = DistillConfig(
+            batch_size=8, num_batch=1, image_size=(16, 16),
+            max_iters=150, early_break_factor=0.0, lr=0.05,
+            compute_dtype=dt,
+        )
+        run = distill_batch_fn(g, p, cfg)
+        x0 = jnp.asarray(init_random_batch(np.random.default_rng(0), cfg))
+        x, it, loss = run(x0)
+        assert x.dtype == jnp.float32  # images stay f32
+        losses[dt] = float(loss)
+    assert np.isfinite(losses["bf16"])
+    # same neighborhood: within 25% of the f32 trajectory's final loss
+    assert losses["bf16"] <= losses["f32"] * 1.25, losses
+
+
 def test_distill_early_break(model):
     g, p = model
     cfg = DistillConfig(
