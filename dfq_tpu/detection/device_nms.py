@@ -122,6 +122,14 @@ def decode_nms(
     return per_class(conf[:, 1:].T)
 
 
+def decode_nms_batch(conf, loc, priors, **kw):
+    """Batched device post-process: ``conf [B,P,C]``, ``loc [B,P,4]`` ->
+    ``(boxes[B,C-1,top_k,4], scores[B,C-1,top_k], valid[B,C-1,top_k])``.
+    The serving path: run this inside the same jit as the int8 forward
+    (measured: forward+decode+NMS = 0.93 ms at b=1, SERVING_r04.json)."""
+    return jax.vmap(lambda c, l: decode_nms(c, l, priors, **kw))(conf, loc)
+
+
 def predict_on_device(conf, loc, priors, image_size_hw, **kw):
     """Fetch-and-unpack wrapper matching ``Predictor.predict``'s return
     contract: (boxes[K,4] in pixels, labels[K], probs[K])."""

@@ -122,6 +122,29 @@ def test_predictor_device_flag_matches_host():
     np.testing.assert_allclose(np.sort(hp), np.sort(dp), rtol=1e-5, atol=1e-6)
 
 
+def test_decode_nms_batch_matches_per_image():
+    from dfq_tpu.detection.device_nms import decode_nms_batch
+
+    confs, locs = [], []
+    for seed in (10, 11, 12):
+        c, l, priors = _random_problem(seed)
+        confs.append(c)
+        locs.append(l)
+    conf_b, loc_b = np.stack(confs), np.stack(locs)
+    kw = dict(prob_threshold=0.1, iou_threshold=0.45,
+              candidate_size=200, top_k=8)
+    b, s, v = decode_nms_batch(conf_b, loc_b, priors, **kw)
+    for i in range(3):
+        bi, si, vi = decode_nms(confs[i], locs[i], priors, **kw)
+        np.testing.assert_array_equal(np.asarray(v[i]), np.asarray(vi))
+        np.testing.assert_allclose(
+            np.asarray(b[i]), np.asarray(bi), rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(s[i]), np.asarray(si), rtol=1e-6, atol=1e-7
+        )
+
+
 def test_predict_on_device_wrapper_contract():
     conf, loc, priors = _random_problem(4)
     boxes, labels, probs = predict_on_device(
