@@ -110,6 +110,13 @@ def _space_to_depth2(xq: jnp.ndarray, zp: int) -> jnp.ndarray:
 # quantize-then-clamp equals clamp-then-quantize for monotone grid +
 # monotone op (relu/relu6/maxpool), and identity ops trivially
 _GRID_PASSTHROUGH = {"relu", "relu6", "bn", "identity", "dropout", "maxpool"}
+# NOTE "pad" is deliberately NOT grid-passthrough: threading int8
+# through DeepLab's conv -> relu -> pad -> conv dilated-backbone chains
+# is bit-compatible (real 0 == the zero point) but measured 1.4 ms/step
+# SLOWER at 513^2 b8 in BOTH resize variants (same-session A/B,
+# DEEPLAB_AB_r04.json) — XLA's configs for those f32 interludes beat
+# its int8 ones at that geometry. The int8-domain pad branch below
+# still executes when the producer is already a QTensor.
 
 
 def _consumer_plan(
@@ -587,6 +594,50 @@ def execute_int8_fused(
                 from dfq_tpu.graph.executor import _pool
 
                 emit(name, _pool(v, node, "max"))
+        elif op == "concat" and all(
+            isinstance(env[i], QTensor) for i in node.inputs
+        ) and plan.get(name) is not None and all(
+            _site_params(model, f"{name}:in{i}") is not None
+            for i in range(len(node.inputs))
+        ):
+            # int8-domain concat: requant each branch onto its site grid
+            # and then onto the consumer grid (the same two roundings
+            # the f32 fallback applies), concatenating int8 — 1/4 the
+            # traffic of the f32 path (DeepLab's decoder cat measured
+            # ~1 ms/step through the fallback)
+            sp = plan[name]
+            parts = []
+            for i, inp in enumerate(node.inputs):
+                spi = _site_params(model, f"{name}:in{i}")
+                q_site = QTensor(
+                    _requant_i8(env[inp], spi[0], spi[1]), spi[0], spi[1]
+                )
+                parts.append(_requant_i8(q_site, sp[0], sp[1]))
+            env[name] = QTensor(
+                jnp.concatenate(parts, axis=node.attrs.get("axis", -1)),
+                sp[0],
+                sp[1],
+            )
+        elif op == "pad":
+            v = env[node.inputs[0]]
+            t_, b_, l, r = node.attrs["pads"]
+            if isinstance(v, QTensor):
+                # pad in the int8 domain: real 0 quantizes exactly to
+                # the zero point, so this is the f32 zero-pad without
+                # the dequant -> f32 pad -> requant round trip (the
+                # DeepLab trace showed the standalone pads costing
+                # ~0.9 ms/step through the f32 fallback)
+                q = jnp.pad(
+                    v.q,
+                    ((0, 0), (t_, b_), (l, r), (0, 0)),
+                    constant_values=np.int8(v.zp),
+                )
+                env[name] = QTensor(q, v.scale, v.zp)
+            else:
+                emit(
+                    name,
+                    jnp.pad(v, ((0, 0), (t_, b_), (l, r), (0, 0))),
+                )
         else:
             # generic f32 fallback for remaining ops
             from dfq_tpu.graph.executor import _interpolate, _pool

@@ -84,32 +84,47 @@ def _pool(x, node, kind):
     return summed / (wh * ww)
 
 
+def _interp_matrix(in_len: int, out_len: int, align_corners: bool):
+    """Dense (out_len, in_len) bilinear interpolation matrix: each row
+    holds the two taps ``(1-w, w)`` of one output coordinate."""
+    if align_corners and out_len > 1:
+        cs = jnp.linspace(0.0, in_len - 1.0, out_len)
+    else:
+        scale = in_len / out_len
+        cs = jnp.clip(
+            (jnp.arange(out_len) + 0.5) * scale - 0.5, 0.0, in_len - 1.0
+        )
+    i0 = jnp.floor(cs).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, in_len - 1)
+    w1 = cs - i0
+    rows = jnp.arange(out_len)
+    a = jnp.zeros((out_len, in_len), jnp.float32)
+    a = a.at[rows, i0].add(1.0 - w1)
+    a = a.at[rows, i1].add(w1)
+    return a
+
+
 def _resize_bilinear(x, out_size, align_corners: bool):
+    """Separable bilinear resize as two MXU matmuls.
+
+    Mathematically identical to the gather formulation (each output
+    pixel is the same 2x2 tap combination; the interpolation matrices
+    carry exactly those taps), but gathers run far below HBM peak on
+    TPU while these are plain f32 matmuls: the DeepLab final 129->513
+    upsample measured 3.87 ms/step (26% of the whole b8 step) as
+    gathers (PROF trace, round 4) vs sub-ms as matmuls."""
     n, h, w, c = x.shape
     oh, ow = out_size
-
-    def coords(in_len, out_len):
-        if align_corners and out_len > 1:
-            return jnp.linspace(0.0, in_len - 1.0, out_len)
-        scale = in_len / out_len
-        c = (jnp.arange(out_len) + 0.5) * scale - 0.5
-        return jnp.clip(c, 0.0, in_len - 1.0)
-
-    ys = coords(h, oh)
-    xs = coords(w, ow)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0)[None, :, None, None]
-    wx = (xs - x0)[None, None, :, None]
-
-    rows0 = jnp.take(x, y0, axis=1)
-    rows1 = jnp.take(x, y1, axis=1)
-    rows = rows0 * (1.0 - wy) + rows1 * wy
-    cols0 = jnp.take(rows, x0, axis=2)
-    cols1 = jnp.take(rows, x1, axis=2)
-    return cols0 * (1.0 - wx) + cols1 * wx
+    a_h = _interp_matrix(h, oh, align_corners)
+    a_w = _interp_matrix(w, ow, align_corners)
+    # rows: [oh,h] x [n,h,(w c)] -> [n,oh,w,c]
+    rows = jnp.einsum(
+        "Oh,bhwc->bOwc", a_h, x, precision=lax.Precision.HIGHEST
+    )
+    # cols: [ow,w] x [n,oh,w,c] -> [n,oh,ow,c]
+    return jnp.einsum(
+        "Ow,bhwc->bhOc", a_w, rows, precision=lax.Precision.HIGHEST
+    )
 
 
 def _interpolate(x, node):

@@ -80,6 +80,8 @@ def parse_xplane(logdir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--model", type=str, default="mnv2",
+                    choices=["mnv2", "deeplab", "ssd"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dw-dense", type=int, default=0)
     ap.add_argument("--barriers", action="store_true",
@@ -94,28 +96,46 @@ def main():
 
     from dfq_tpu.engine import lower_int8
     from dfq_tpu.engine.int8_fused import execute_int8_fused
-    from dfq_tpu.models import init_params, mobilenet_v2
+    from dfq_tpu.models import (
+        deeplab_mobilenet_v2,
+        init_params,
+        mobilenet_v2,
+        mobilenet_v2_ssd_lite,
+    )
     from dfq_tpu.pipeline import QuantConfig, prepare
     from dfq_tpu.utils.profiling import layer_costs
 
-    graph = mobilenet_v2()
+    size = 224
+    det = False
+    if args.model == "deeplab":
+        graph, size = deeplab_mobilenet_v2(input_size=513), 513
+    elif args.model == "ssd":
+        graph, size, det = mobilenet_v2_ssd_lite(num_classes=21), 300, True
+    else:
+        graph = mobilenet_v2()
     params = init_params(graph, seed=0, bn_stats="random")
-    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16,
+                      is_detection=det)
     prep = prepare(graph, params, cfg)
     model = lower_int8(prep)
     batch = args.batch
     x = jax.jit(
         lambda: jax.random.normal(
-            jax.random.PRNGKey(0), (batch, 224, 224, 3), jnp.float32
+            jax.random.PRNGKey(0), (batch, size, size, 3), jnp.float32
         )
     )()
 
-    fwd = jax.jit(
-        lambda v: execute_int8_fused(
+    def _fwd(v):
+        out = execute_int8_fused(
             model, prep.params, v, dw_dense_max_ch=args.dw_dense,
             profile_barriers=args.barriers,
         )
-    )
+        if isinstance(out, tuple):
+            # multi-head graphs: consume every output in the trace
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+        return out
+
+    fwd = jax.jit(_fwd)
     t0 = time.time()
     compiled = fwd.lower(x).compile()
     print(f"# compile: {time.time() - t0:.1f}s", file=sys.stderr)
@@ -182,7 +202,7 @@ def main():
 
     steps = args.steps
     rows = []
-    costs = {c["name"]: c for c in layer_costs(graph, batch, 224)}
+    costs = {c["name"]: c for c in layer_costs(graph, batch, size)}
     for node, dur in per_node.most_common():
         ms = dur / 1e12 * 1e3 / steps
         row = {"node": node, "ms": round(ms, 4)}
@@ -197,6 +217,7 @@ def main():
     for r in rows:
         kinds[r.get("kind", "other")] += r["ms"]
     print(json.dumps({
+        "model": args.model,
         "dw_dense_max_ch": args.dw_dense,
         "barriers": args.barriers,
         "steps": steps,
