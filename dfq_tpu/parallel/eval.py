@@ -117,3 +117,54 @@ def make_sharded_eval(
         return int(correct), int(total)
 
     return run
+
+
+def make_sharded_seg_eval(
+    graph: Graph,
+    params,
+    mesh: Mesh,
+    num_class: int,
+    *,
+    act_ranges: Optional[Dict[str, Tuple[float, float]]] = None,
+    bits_act: int = 8,
+    int8_model=None,
+    engine: Optional[str] = None,
+):
+    """Segmentation analog of :func:`make_sharded_eval`: returns
+    ``step(x, targets) -> confusion[num_class, num_class]`` with the
+    batch sharded over the data axis and the whole metric computed ON
+    device — argmax, the validity mask (``0 <= gt < num_class``, the
+    reference Evaluator's mask, ``utils/metrics.py:19``) and the
+    confusion bincount all run under one jit, so the device->host
+    boundary per step is one C x C int array instead of per-pixel
+    logits. Accumulate the returned matrices in
+    :class:`dfq_tpu.metrics.SegEvaluator.confusion_matrix` for the
+    derived metrics."""
+    fwd = make_sharded_forward(
+        graph, params, mesh,
+        act_ranges=act_ranges, bits_act=bits_act,
+        int8_model=int8_model, engine=engine,
+    )
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    @jax.jit
+    def confusion(logits, targets):
+        pred = jnp.argmax(logits, axis=-1)
+        gt = targets.astype(jnp.int32)
+        valid = (gt >= 0) & (gt < num_class)
+        # invalid pixels land in an overflow bin that is dropped
+        label = jnp.where(valid, num_class * gt + pred, num_class * num_class)
+        counts = jnp.bincount(
+            label.reshape(-1), length=num_class * num_class + 1
+        )
+        return counts[:-1].reshape(num_class, num_class)
+
+    def run(x, targets):
+        logits = fwd(x)
+        import numpy as _np
+
+        return _np.asarray(
+            confusion(logits, jax.device_put(targets, data_sh))
+        ).astype(_np.int64)
+
+    return run

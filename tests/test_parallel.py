@@ -54,6 +54,39 @@ def test_sharded_eval_matches_single_device():
     assert correct == expect
 
 
+def test_sharded_seg_eval_matches_host_evaluator():
+    """Device-side sharded confusion matrix == the host SegEvaluator on
+    single-device logits (incl. the reference's 0<=gt<C validity mask,
+    utils/metrics.py:19)."""
+    from dfq_tpu.metrics import SegEvaluator
+    from dfq_tpu.parallel import make_sharded_seg_eval
+
+    b = GraphBuilder()
+    x = b.input("data")
+    x = b.conv("c1", x, 3, 8, (3, 3), padding=(1, 1))
+    x = b.bn("n1", x, 8)
+    x = b.relu("r1", x)
+    x = b.conv("head", x, 8, 5, (1, 1))
+    g = b.build([x])
+    p = init_params(g, seed=3, bn_stats="random")
+    mesh = data_mesh()
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 1, (8, 12, 12, 3)).astype(np.float32)
+    # include ignore pixels (255) outside [0, C)
+    gt = rng.integers(0, 5, (8, 12, 12)).astype(np.int32)
+    gt[rng.random(gt.shape) < 0.1] = 255
+
+    run = make_sharded_seg_eval(g, p, mesh, num_class=5)
+    with mesh:
+        conf = run(jnp.asarray(x), jnp.asarray(gt))
+
+    logits = np.asarray(jax.jit(lambda pp, v: execute(g, pp, v))(p, jnp.asarray(x)))
+    ev = SegEvaluator(5)
+    ev.add_batch(gt, logits.argmax(-1))
+    np.testing.assert_array_equal(conf, ev.confusion_matrix)
+    assert conf.sum() < gt.size  # the ignore pixels were masked
+
+
 def _inv_res_net():
     """Small inverted-residual net: exercises the fused engine's real
     content (pw expand -> dw 3x3 -> pw project -> residual add)."""
