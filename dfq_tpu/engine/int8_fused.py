@@ -672,7 +672,14 @@ def execute_int8_fused(
                 t_, b_, l, r = node.attrs["pads"]
                 out = jnp.pad(ins_f[0], ((0, 0), (t_, b_), (l, r), (0, 0)))
             elif op == "interpolate":
-                out = _interpolate(site_fq(0, ins_f[0]), node)
+                # bf16-grade matmul precision for the resize: its error
+                # (~1e-3 relative) is far below the int8 grids that
+                # bracket this op in the serving path, and the HIGHEST
+                # f32 einsum was the slower half of the resize cost
+                out = _interpolate(
+                    site_fq(0, ins_f[0]), node,
+                    precision=lax.Precision.DEFAULT,
+                )
             elif op == "softmax":
                 out = jax.nn.softmax(
                     site_fq(0, ins_f[0]), axis=node.attrs.get("axis", -1)

@@ -104,7 +104,9 @@ def _interp_matrix(in_len: int, out_len: int, align_corners: bool):
     return a
 
 
-def _resize_bilinear(x, out_size, align_corners: bool):
+def _resize_bilinear(
+    x, out_size, align_corners: bool, precision=lax.Precision.HIGHEST
+):
     """Separable bilinear resize as two MXU matmuls.
 
     Mathematically identical to the gather formulation (each output
@@ -118,16 +120,12 @@ def _resize_bilinear(x, out_size, align_corners: bool):
     a_h = _interp_matrix(h, oh, align_corners)
     a_w = _interp_matrix(w, ow, align_corners)
     # rows: [oh,h] x [n,h,(w c)] -> [n,oh,w,c]
-    rows = jnp.einsum(
-        "Oh,bhwc->bOwc", a_h, x, precision=lax.Precision.HIGHEST
-    )
+    rows = jnp.einsum("Oh,bhwc->bOwc", a_h, x, precision=precision)
     # cols: [ow,w] x [n,oh,w,c] -> [n,oh,ow,c]
-    return jnp.einsum(
-        "Ow,bhwc->bhOc", a_w, rows, precision=lax.Precision.HIGHEST
-    )
+    return jnp.einsum("Ow,bhwc->bhOc", a_w, rows, precision=precision)
 
 
-def _interpolate(x, node):
+def _interpolate(x, node, precision=lax.Precision.HIGHEST):
     attrs = node.attrs
     if attrs.get("size") is not None:
         out_size = attrs["size"]
@@ -140,7 +138,9 @@ def _interpolate(x, node):
         yi = (jnp.arange(oh) * (h / oh)).astype(jnp.int32)
         xi = (jnp.arange(ow) * (w / ow)).astype(jnp.int32)
         return jnp.take(jnp.take(x, yi, axis=1), xi, axis=2)
-    return _resize_bilinear(x, out_size, attrs.get("align_corners", True))
+    return _resize_bilinear(
+        x, out_size, attrs.get("align_corners", True), precision=precision
+    )
 
 
 def _per_sample_minmax(v):
