@@ -34,6 +34,9 @@ def get_argument():
                    help="force jax platform (e.g. cpu); the axon plugin "
                         "overrides the JAX_PLATFORMS env var")
     p.add_argument("--engine", choices=["sim", "int8", "fused"], default="sim")
+    p.add_argument("--save-artifact", type=str, default=None,
+                   help="write the lowered int8 model as a deployable "
+                        "artifact directory (io.artifact)")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--data-dir", type=str, default=None,
                    help="VOC2012 root (JPEGImages/SegmentationClass/...)")
@@ -99,6 +102,14 @@ def main():
         from dfq_tpu.engine import execute_int8, lower_int8
 
         model = lower_int8(prep)
+        if args.save_artifact:
+            from dfq_tpu.io import save_artifact
+
+            residual = {
+                k: v for k, v in prep.params.items() if k not in model.layers
+            }
+            save_artifact(args.save_artifact, model, residual)
+            print(f"artifact saved to {args.save_artifact}")
         if args.engine == "fused":
             from dfq_tpu.engine.int8_fused import execute_int8_fused
 
