@@ -374,8 +374,8 @@ def test_executor_logits_match_reference_forward(pipelines):
     params_ref, ranges_ref = _ref_final_state(graph_t, qms, our_graph, prep)
     orig_conv = ex._conv
 
-    def conv_cap(v, node, p):
-        out = orig_conv(v, node, p)
+    def conv_cap(v, node, p, **kw):
+        out = orig_conv(v, node, p, **kw)
         if node.name == probe:
             cap["ours"] = np.asarray(out)
         return out
