@@ -78,29 +78,34 @@ def _requant_i8(t: QTensor, scale: float, zp: int) -> jnp.ndarray:
 
 
 def _s2d_weights(qw: np.ndarray) -> np.ndarray:
-    """Rewrite a k3 s2 p1 stem conv's OIHW int8 weights into the exact
-    space-to-depth(2) equivalent: k2 s1 conv over 4x the channels.
-    Tap (di, dj) of the original kernel maps to kernel position
-    (di//2, dj//2) and packed channel ((di%2)*2 + dj%2)*C + c; unused
-    positions are zero (so wsum is unchanged)."""
-    o, c, _, _ = qw.shape
-    w2 = np.zeros((o, 4 * c, 2, 2), np.int8)
-    for di in range(3):
-        for dj in range(3):
+    """Rewrite an odd-k, stride-2, pad-(k//2) stem conv's OIHW int8
+    weights into the exact space-to-depth(2) equivalent:
+    ceil(k/2)-kernel stride-1 conv over 4x the channels. Tap (di, dj)
+    maps to kernel position (di//2, dj//2) and packed channel
+    ((di%2)*2 + dj%2)*C + c; unused positions are zero (so wsum is
+    unchanged). k=3 -> k2 (the MNV2 stem); k=7 -> k4 (the ResNet
+    stem, lane utilization 3->12 channels on the input stream)."""
+    o, c, kh, kw = qw.shape
+    k2h, k2w = (kh + 1) // 2, (kw + 1) // 2
+    w2 = np.zeros((o, 4 * c, k2h, k2w), np.int8)
+    for di in range(kh):
+        for dj in range(kw):
             ki, pi = di // 2, di % 2
             kj, pj = dj // 2, dj % 2
             w2[:, (pi * 2 + pj) * c : (pi * 2 + pj) * c + c, ki, kj] = qw[:, :, di, dj]
     return w2
 
 
-def _space_to_depth2(xq: jnp.ndarray, zp: int) -> jnp.ndarray:
-    """Pad by 1 with zp then pack 2x2 pixel patches into channels:
-    [N, H, W, C] -> [N, H/2+1, W/2+1, 4C]."""
+def _space_to_depth2(xq: jnp.ndarray, zp: int, pad: int = 1) -> jnp.ndarray:
+    """Pad by ``pad`` with zp then pack 2x2 pixel patches into channels:
+    [N, H, W, C] -> [N, (H+2p)/2, (W+2p)/2, 4C]. Requires H+2p even."""
     n, h, w, c = xq.shape
     xp = jnp.pad(
-        xq, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=np.int8(zp)
+        xq,
+        ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+        constant_values=np.int8(zp),
     )
-    hp, wp = h + 2, w + 2
+    hp, wp = h + 2 * pad, w + 2 * pad
     y = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
     y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
     return y.reshape(n, hp // 2, wp // 2, 4 * c)
@@ -408,6 +413,11 @@ def execute_int8_fused(
             xq = get_i8(node.inputs[0], layer.in_scale, layer.in_zp)
             sp = plan.get(name)
 
+            # k3 stems only: the k7 (ResNet) s2d rewrite is exact
+            # (helpers + unit test cover it) but measured a 3.7% LOSS
+            # at b128 (33,658 -> 32,401 img/s, R18_S2D_r04.json) —
+            # XLA's native k7s2 conv beats the k4s1-over-12ch form, so
+            # it never engages
             is_stem = (
                 stem_s2d
                 and op == "conv"
@@ -422,7 +432,7 @@ def execute_int8_fused(
             if is_stem:
                 # exact space-to-depth rewrite: k3s2p1 over C channels ->
                 # k2s1 valid over 4C channels (larger K, half the rows)
-                xs = _space_to_depth2(xq, layer.in_zp)
+                xs = _space_to_depth2(xq, layer.in_zp, pad=1)
                 w2 = _s2d_weights(layer.qweight)
                 qw = jnp.transpose(jnp.asarray(w2), (2, 3, 1, 0))
                 acc = lax.conv_general_dilated(

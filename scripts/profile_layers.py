@@ -81,7 +81,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--model", type=str, default="mnv2",
-                    choices=["mnv2", "deeplab", "ssd"])
+                    choices=["mnv2", "r18", "deeplab", "ssd"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dw-dense", type=int, default=0)
     ap.add_argument("--barriers", action="store_true",
@@ -107,7 +107,11 @@ def main():
 
     size = 224
     det = False
-    if args.model == "deeplab":
+    if args.model == "r18":
+        from dfq_tpu.models import resnet18
+
+        graph = resnet18()
+    elif args.model == "deeplab":
         graph, size = deeplab_mobilenet_v2(input_size=513), 513
     elif args.model == "ssd":
         graph, size, det = mobilenet_v2_ssd_lite(num_classes=21), 300, True

@@ -129,6 +129,38 @@ def test_dw_dense_diag_bit_exact():
         np.testing.assert_array_equal(dense, base), thresh
 
 
+def test_k7_stem_s2d_construction_bit_exact():
+    """The generalized s2d construction for k7 s2 p3 (the ResNet stem:
+    k4 s1 over 4C after 2x2 packing) is bit-exact vs the direct int8
+    conv. The ENGINE deliberately never engages it — measured 3.7%
+    slower end-to-end (R18_S2D_r04.json) — but the math is pinned here
+    so the k3 path's shared helpers stay general."""
+    from jax import lax
+
+    from dfq_tpu.engine.int8_fused import _s2d_weights, _space_to_depth2
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-128, 128, (2, 32, 32, 3)), jnp.int8)
+    qw = rng.integers(-5, 6, (16, 3, 7, 7)).astype(np.int8)  # OIHW
+    zp = 7
+
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), constant_values=np.int8(zp))
+    direct = lax.conv_general_dilated(
+        xp, jnp.transpose(jnp.asarray(qw), (2, 3, 1, 0)), (2, 2),
+        ((0, 0), (0, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    xs = _space_to_depth2(x, zp, pad=3)
+    w2 = _s2d_weights(qw)
+    assert w2.shape == (16, 12, 4, 4)
+    packed = lax.conv_general_dilated(
+        xs, jnp.transpose(jnp.asarray(w2), (2, 3, 1, 0)), (1, 1),
+        ((0, 0), (0, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(direct))
+
+
 def test_b2s_fold_bit_exact():
     """The batch-to-space fold (stack the batch along H with zero-point
     seam rows, VALID conv, slice) must be bit-identical to the per-image
