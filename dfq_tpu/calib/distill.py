@@ -54,8 +54,12 @@ class DistillConfig:
     # only needs the statistics, not exact activations — measured
     # same-session A/B (DISTILL_r04.json): 12.2 vs 29.0 ms/step
     # (2.38x) at b64/224^2 with matching loss trajectories
-    # (13131.6 vs 13134.6 after 30 iters). "f32" restores exact
-    # reference-precision synthesis.
+    # (13131.6 vs 13134.6 after 30 iters). bf16 is the SUPPORTED
+    # PRODUCTION DEFAULT for synthesis; it intentionally trades exact
+    # reference-precision numerics for 2.4x throughput (synthesis only
+    # feeds calibration statistics, not the quantization-simulation
+    # contract). Pass "f32" for bit-faithful reference-precision
+    # synthesis (the parity tests do).
     compute_dtype: str = "bf16"
 
 

@@ -64,6 +64,10 @@ class Predictor:
         height, width = image.shape[:2]
         x = self.preprocess(image)
         conf, loc = self.forward_fn(x)
+        # NOTE: `prob_threshold or self.filter_threshold` deliberately treats
+        # an explicit 0.0 as unset — the reference predictor has the identical
+        # quirk (``predictor.py:46``), and both branches below share it so the
+        # device path stays keep-set-equal with the host/reference path.
         if self.device_nms:
             from dfq_tpu.detection.device_nms import predict_on_device
 
@@ -75,7 +79,7 @@ class Predictor:
                 prob_threshold=float(prob_threshold or self.filter_threshold),
                 iou_threshold=float(self.iou_threshold),
                 candidate_size=self.candidate_size,
-                top_k=int(top_k) if top_k > 0 else 200,
+                top_k=int(top_k) if top_k > 0 else self.candidate_size,
                 center_variance=float(self.config.center_variance),
                 size_variance=float(self.config.size_variance),
             )

@@ -59,10 +59,41 @@ def save_aot_forward(path: str, compiled, batch: int, image_size: int):
         json.dump({**_meta(), "batch": batch, "image_size": image_size}, f)
 
 
+class _TreeDefUnpickler(pickle.Unpickler):
+    """Unpickler restricted to the globals PyTreeDef pickling actually
+    uses (jax tree_util + harmless builtins). Blocks the generic
+    pickle arbitrary-code-execution vector for ``trees.pkl`` loaded
+    from an artifact of uncertain provenance."""
+
+    _ALLOWED_MODULES = (
+        "jax.tree_util",
+        "jax._src.tree_util",
+        "jaxlib._jax.pytree",  # PyTreeDef's C++ home in current jaxlib
+        "jaxlib.xla_extension",  # older jaxlib spelling
+        "builtins",
+        "collections",
+    )
+
+    def find_class(self, module, name):  # noqa: D102
+        if module == "builtins" and name in ("eval", "exec", "getattr", "compile", "open", "__import__"):
+            raise pickle.UnpicklingError(f"blocked builtin {name!r} in AOT trees.pkl")
+        if any(module == m or module.startswith(m + ".") for m in self._ALLOWED_MODULES):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"AOT trees.pkl references {module}.{name}, outside the "
+            "jax tree_util allowlist — refusing to unpickle"
+        )
+
+
 def load_aot_forward(path: str) -> Optional[Callable]:
     """Load the serialized executable if present and compatible; returns
     the ready-to-call function (no compile) or None when the artifact
-    carries no AOT payload."""
+    carries no AOT payload.
+
+    Trust note: the AOT payload (PJRT executable + pytree defs) should
+    only be loaded from artifacts you produced or trust — the treedef
+    sidecar is pickle-based (restricted to a jax tree_util allowlist
+    here, but an executable blob is inherently trusted code)."""
     d = os.path.join(path, AOT_DIR)
     if not os.path.isdir(d):
         return None
@@ -81,7 +112,7 @@ def load_aot_forward(path: str) -> Optional[Callable]:
     with open(os.path.join(d, "executable.pjrt"), "rb") as f:
         payload = f.read()
     with open(os.path.join(d, "trees.pkl"), "rb") as f:
-        in_tree, out_tree = pickle.load(f)
+        in_tree, out_tree = _TreeDefUnpickler(f).load()
     fn = se.deserialize_and_load(payload, in_tree, out_tree)
     fn.aot_meta = meta  # type: ignore[attr-defined]
     return fn
