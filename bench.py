@@ -83,7 +83,13 @@ def _compile_loop(fwd, x, n, tag=""):
     def run(x):
         def body(i, carry):
             acc, x = carry
-            out = fwd(x + acc * 1e-20)
+            # anti-hoist perturbation: loop-carried, runtime-zero. For
+            # integer inputs (int8 kernel probes) the tiny float casts
+            # to 0 at runtime but XLA cannot prove it at compile time.
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                out = fwd(x + (acc * 1e-20).astype(x.dtype))
+            else:
+                out = fwd(x + acc * 1e-20)
             return acc + jnp.sum(out.astype(jnp.float32)) * 1e-20, x
 
         acc, _ = lax.fori_loop(0, n, body, (jnp.float32(0), x))

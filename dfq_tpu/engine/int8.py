@@ -232,6 +232,84 @@ def _int8_conv(xq, node, qw_hwio, zp: int):
     )
 
 
+def _shifted_slices(xq, node, zp: int):
+    """zp-pad then take the k_h*k_w stride/dilation-aware shifted views
+    of an int8 activation — the common front half of the shift9/im2col
+    conv-as-matmul lowerings. Returns the list of [B,oh,ow,Cin] slices
+    in (ky, kx) row-major tap order."""
+    a = node.attrs
+    kh, kw = a["kernel"]
+    sh, sw = a["stride"]
+    ph, pw = a["padding"]
+    dh, dw = a["dilation"]
+    if (ph, pw) != (0, 0):
+        xq = jnp.pad(
+            xq,
+            ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+            constant_values=np.int8(zp),
+        )
+    b, hp, wp, cin = xq.shape
+    oh = (hp - dh * (kh - 1) - 1) // sh + 1
+    ow = (wp - dw * (kw - 1) - 1) // sw + 1
+    slices = []
+    for ky in range(kh):
+        for kx in range(kw):
+            y0, x0 = ky * dh, kx * dw
+            slices.append(
+                lax.slice(
+                    xq,
+                    (0, y0, x0, 0),
+                    (b, y0 + (oh - 1) * sh + 1, x0 + (ow - 1) * sw + 1, cin),
+                    (1, sh, sw, 1),
+                )
+            )
+    return slices
+
+
+def _int8_conv_shift9(xq, node, qw_hwio, zp: int):
+    """Dense k*k int8 conv as k^2 ACCUMULATED matmuls over shifted views:
+    ``acc = sum_{ky,kx} slice(pad(x, zp), ky, kx) @ W[ky, kx]`` with each
+    term a ``[B*oh*ow, Cin] x [Cin, Cout]`` int8->int32 ``dot_general``.
+
+    Bit-exact vs :func:`_int8_conv` (integer accumulation, same taps,
+    same zp padding; tests/test_int8_fused.py). Rationale: XLA's spatial
+    k3-conv configs cap near ~80 TOPS on v5e while its int8 matmuls hit
+    ~276 TOPS (PERFORMANCE.md kernel table) — this presents the same
+    MACs matmul-shaped. The cost is materializing k^2 shifted copies of
+    the activation (9x HBM reads for k3), so it pays only where the
+    conv is compute-bound, which is what scripts/ab_im2col.py measures
+    per shape class. Supports stride/dilation; groups must be 1."""
+    slices = _shifted_slices(xq, node, zp)
+    kh, kw = node.attrs["kernel"]
+    acc = None
+    for i in range(kh * kw):
+        wk = qw_hwio[i // kw, i % kw]  # [Cin, Cout]
+        d = lax.dot_general(
+            slices[i], wk, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _int8_conv_im2col(xq, node, qw_hwio, zp: int):
+    """Dense k*k int8 conv as ONE matmul over the concatenated shifted
+    views (classic im2col): ``[B,oh,ow,k^2*Cin] @ [k^2*Cin, Cout]``.
+    Bit-exact like :func:`_int8_conv_shift9`; trades the accumulation
+    chain for a single bigger dot at the price of materializing the
+    k^2*Cin patch tensor (one extra full write+read vs shift9's reads).
+    Tap order matches ``qw_hwio.reshape(kh*kw*cin, cout)`` row-major."""
+    slices = _shifted_slices(xq, node, zp)
+    kh, kw = node.attrs["kernel"]
+    cin, cout = qw_hwio.shape[2], qw_hwio.shape[3]
+    xcat = jnp.concatenate(slices, axis=-1)
+    return lax.dot_general(
+        xcat, qw_hwio.reshape(kh * kw * cin, cout),
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
 def execute_int8(model: Int8Model, params_f32, x: jnp.ndarray, weights=None):
     """Run the int8 graph. ``params_f32`` supplies any layers that were
     not lowered (plus BN identities). Jittable; close over ``model``.

@@ -41,6 +41,8 @@ from dfq_tpu.engine.int8 import (
     _b2s_applicable,
     _int8_conv,
     _int8_conv_b2s,
+    _int8_conv_im2col,
+    _int8_conv_shift9,
 )
 from dfq_tpu.graph.ir import Graph
 
@@ -283,6 +285,8 @@ def execute_int8_fused(
     dw_dense_max_ch="auto",
     per_device_batch: int | None = None,
     b2s_min_h: int = 0,
+    k3_matmul: str = "off",
+    k3_matmul_min_ch: int = 0,
     profile_barriers: bool = False,
 ):
     """``use_pallas=True`` routes pointwise convs / linear layers through
@@ -303,7 +307,18 @@ def execute_int8_fused(
 
     ``b2s_min_h``: batch-to-space fold (bit-exact, see
     ``engine/int8.py:_int8_conv_b2s``) for k3p1 convs with input
-    H >= this; 0 disables. ``profile_barriers``: profiling-only mode
+    H >= this; 0 disables.
+
+    ``k3_matmul``: lower dense k3 convs (groups=1, any stride/dilation)
+    as matmuls instead of XLA spatial convs — ``"shift9"`` (9
+    accumulated shifted-view dots) or ``"im2col"`` (one concatenated
+    dot); bit-exact rewrites (``engine/int8.py:_int8_conv_shift9``,
+    tests/test_int8_fused.py). ``k3_matmul_min_ch`` applies it only to
+    convs with in_ch >= the threshold (the matmul form pays a 9x
+    activation re-read, so only compute-bound shapes profit —
+    scripts/ab_im2col.py measures which). ``"off"`` disables.
+
+    ``profile_barriers``: profiling-only mode
     that stops dw convs fusing into neighbors so traces carry true dw
     rows. ``per_device_batch``: resolve the "auto" policies against this
     instead of ``x.shape[0]`` (sharded callers: pass global/n_data)."""
@@ -521,6 +536,19 @@ def execute_int8_fused(
                 else:
                     qw = jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
                     if (
+                        k3_matmul != "off"
+                        and a["kernel"] == (3, 3)
+                        and a["groups"] == 1
+                        and a["in_ch"] >= k3_matmul_min_ch
+                    ):
+                        # dense k3 conv as matmul-shaped work (bit-exact)
+                        k3_fn = (
+                            _int8_conv_im2col
+                            if k3_matmul == "im2col"
+                            else _int8_conv_shift9
+                        )
+                        acc = k3_fn(xq, node, qw, layer.in_zp)
+                    elif (
                         b2s_min_h
                         and xq.shape[0] > 1
                         and xq.shape[1] >= b2s_min_h

@@ -9,8 +9,11 @@
 #include "dfqrt.h"
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <map>
@@ -60,6 +63,12 @@ struct Model {
   std::vector<Tensor> last_outputs;
   // preprocessed per-layer weights: HWIO-transposed int8 for convs
   std::map<std::string, std::vector<int8_t>> conv_w_khwi;  // [O][kh][kw][I/g]
+  // dense (groups==1) convs also get a tap-major, oc-contiguous copy
+  // for the blocked-GEMM fast path: [kh*kw][I][O]
+  std::map<std::string, std::vector<int8_t>> conv_w_kio;
+  // depthwise convs (groups==in_ch==out_ch): tap-major, channel-
+  // contiguous [kh*kw][C] so the per-pixel loop vectorizes over C
+  std::map<std::string, std::vector<int8_t>> conv_w_dwk;
 };
 
 bool has(const Node &n, const std::string &k) { return n.attrs.count(k) > 0; }
@@ -160,21 +169,27 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
   const float *bias = sbias ? stored_f32(m, *sbias) : nullptr;
   const std::vector<int8_t> &wk = m.conv_w_khwi.at(n.name);
 
-  // quantize + pad input with the zero point
+  // quantize + pad input with the zero point. The buffer holds the
+  // UNSIGNED grid value q+128 in [0,255] (padding = zp+128): every
+  // inner product then runs u8 x s8 — the form AVX512-VNNI's vpdpbusd
+  // computes natively — and the zero-point fold becomes
+  // ``acc - (zp+128) * wsum``, exact at borders because the padding
+  // carries the same +128 shift.
   const int PH = H + 2 * ph, PW = W + 2 * pw;
-  std::vector<int8_t> q(static_cast<size_t>(N) * PH * PW * C,
-                        static_cast<int8_t>(in_zp));
+  const int zp_u = in_zp + 128;
+  std::vector<uint8_t> q(static_cast<size_t>(N) * PH * PW * C,
+                         static_cast<uint8_t>(zp_u));
   const float inv_s = 1.0f / in_scale;
 #pragma omp parallel for collapse(2) schedule(static)
   for (int b = 0; b < N; ++b)
     for (int i = 0; i < H; ++i) {
       const float *src = x.data.data() + ((static_cast<size_t>(b) * H + i) * W) * C;
-      int8_t *dst = q.data() +
-                    ((static_cast<size_t>(b) * PH + i + ph) * PW + pw) * C;
+      uint8_t *dst = q.data() +
+                     ((static_cast<size_t>(b) * PH + i + ph) * PW + pw) * C;
       for (int j = 0; j < W * C; ++j) {
-        float v = std::nearbyint(src[j] * inv_s) + (in_zp + 128);
+        float v = std::nearbyint(src[j] * inv_s) + zp_u;
         v = std::min(std::max(v, 0.0f), 255.0f);
-        dst[j] = static_cast<int8_t>(static_cast<int>(v) - 128);
+        dst[j] = static_cast<uint8_t>(v);
       }
     }
 
@@ -183,6 +198,98 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
   Tensor out;
   out.dims = {N, OH, OW, out_ch};
   out.data.resize(out.numel());
+
+  auto kio_it = m.conv_w_kio.find(n.name);
+  if (groups == 1 && kio_it != m.conv_w_kio.end()) {
+    // Blocked-GEMM fast path for dense convs (the bulk of the MACs):
+    // PX output pixels x all out_ch accumulated together, inner loop
+    // contiguous over oc so it vectorizes, with each input channel's
+    // oc-row of weights reused across the PX pixels from L1. Measured
+    // (scripts/bench_native.py, NATIVE_r05.json) vs the dot-per-
+    // (pixel,oc) direct loop below, which remains for grouped/dw convs.
+    constexpr int PX = 8;
+    const int8_t *wt_all = kio_it->second.data();
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int b = 0; b < N; ++b)
+      for (int oy = 0; oy < OH; ++oy) {
+        std::vector<int32_t> acc(static_cast<size_t>(PX) * out_ch);
+        for (int ox0 = 0; ox0 < OW; ox0 += PX) {
+          const int npx = std::min(PX, OW - ox0);
+          std::fill(acc.begin(), acc.begin() + static_cast<size_t>(npx) * out_ch, 0);
+          for (int ky = 0; ky < kh; ++ky) {
+            const int iy = oy * sh + ky * dh;
+            const int8_t *xrow =
+                q.data() + (static_cast<size_t>(b) * PH + iy) * PW * C;
+            for (int kx = 0; kx < kw; ++kx) {
+              const int8_t *wt =
+                  wt_all + (static_cast<size_t>(ky) * kw + kx) * C * out_ch;
+              for (int c = 0; c < C; ++c) {
+                const int8_t *wrow = wt + static_cast<size_t>(c) * out_ch;
+                for (int px = 0; px < npx; ++px) {
+                  const int ix = (ox0 + px) * sw + kx * dw;
+                  const int32_t xv = xrow[static_cast<size_t>(ix) * C + c];
+                  if (xv == 0) continue;
+                  int32_t *ap = acc.data() + static_cast<size_t>(px) * out_ch;
+                  for (int o = 0; o < out_ch; ++o)
+                    ap[o] += xv * static_cast<int32_t>(wrow[o]);
+                }
+              }
+            }
+          }
+          for (int px = 0; px < npx; ++px) {
+            float *dst = out.data.data() +
+                         ((static_cast<size_t>(b) * OH + oy) * OW + ox0 + px) *
+                             out_ch;
+            const int32_t *ap = acc.data() + static_cast<size_t>(px) * out_ch;
+            for (int o = 0; o < out_ch; ++o) {
+              float v = static_cast<float>(ap[o] - in_zp * wsum[o]) *
+                        (in_scale * w_scale[o]);
+              if (bias) v += bias[o];
+              dst[o] = v;
+            }
+          }
+        }
+      }
+    return out;
+  }
+
+  auto dwk_it = m.conv_w_dwk.find(n.name);
+  if (ig == 1 && groups == out_ch && dwk_it != m.conv_w_dwk.end()) {
+    // Depthwise fast path: per output pixel, accumulate the k^2 taps
+    // with a channel-contiguous inner loop (vectorizes over C); the
+    // generic grouped loop below degrades to a scalar 1-wide dot here.
+    const int8_t *wt_all = dwk_it->second.data();
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int b = 0; b < N; ++b)
+      for (int oy = 0; oy < OH; ++oy) {
+        std::vector<int32_t> acc(out_ch);
+        for (int ox = 0; ox < OW; ++ox) {
+          std::fill(acc.begin(), acc.end(), 0);
+          for (int ky = 0; ky < kh; ++ky) {
+            const int iy = oy * sh + ky * dh;
+            for (int kx = 0; kx < kw; ++kx) {
+              const int ix = ox * sw + kx * dw;
+              const int8_t *xp =
+                  q.data() + ((static_cast<size_t>(b) * PH + iy) * PW + ix) * C;
+              const int8_t *wrow =
+                  wt_all + (static_cast<size_t>(ky) * kw + kx) * out_ch;
+              for (int c = 0; c < out_ch; ++c)
+                acc[c] += static_cast<int32_t>(xp[c]) *
+                          static_cast<int32_t>(wrow[c]);
+            }
+          }
+          float *dst = out.data.data() +
+                       ((static_cast<size_t>(b) * OH + oy) * OW + ox) * out_ch;
+          for (int c = 0; c < out_ch; ++c) {
+            float v = static_cast<float>(acc[c] - in_zp * wsum[c]) *
+                      (in_scale * w_scale[c]);
+            if (bias) v += bias[c];
+            dst[c] = v;
+          }
+        }
+      }
+    return out;
+  }
 
   const size_t wstride_oc = static_cast<size_t>(kh) * kw * ig;
 #pragma omp parallel for collapse(2) schedule(static)
@@ -488,7 +595,48 @@ void prepack_conv_weights(Model &m) {
             packed[((static_cast<size_t>(o) * KH + ky) * KW + kx) * Ig + c] =
                 qw[((static_cast<size_t>(o) * Ig + c) * KH + ky) * KW + kx];
     m.conv_w_khwi[n.name] = std::move(packed);
+    if (attr_int(n, "groups", 1) == 1) {
+      // [kh*kw][I][O]: tap-major with oc contiguous, so the GEMM fast
+      // path's inner loop streams one cache-resident oc row per input
+      // channel (see conv_int8's blocked path)
+      std::vector<int8_t> kio(static_cast<size_t>(KH) * KW * Ig * O);
+      for (int ky = 0; ky < KH; ++ky)
+        for (int kx = 0; kx < KW; ++kx)
+          for (int c = 0; c < Ig; ++c)
+            for (int o = 0; o < O; ++o)
+              kio[(((static_cast<size_t>(ky) * KW + kx) * Ig + c) * O) + o] =
+                  qw[((static_cast<size_t>(o) * Ig + c) * KH + ky) * KW + kx];
+      m.conv_w_kio[n.name] = std::move(kio);
+    }
+    const int groups = attr_int(n, "groups", 1);
+    if (groups > 1 && Ig == 1 && groups == O) {
+      std::vector<int8_t> dwk(static_cast<size_t>(KH) * KW * O);
+      for (int ky = 0; ky < KH; ++ky)
+        for (int kx = 0; kx < KW; ++kx)
+          for (int c = 0; c < O; ++c)
+            dwk[(static_cast<size_t>(ky) * KW + kx) * O + c] =
+                qw[(static_cast<size_t>(c) * KH + ky) * KW + kx];
+      m.conv_w_dwk[n.name] = std::move(dwk);
+    }
   }
+}
+
+// Identity BNs (gamma=1, beta=0, mean=0, var=1 — what merge_batchnorm
+// leaves behind) become passthroughs: a full per-channel normalize pass
+// over an identity transform was ~25% of MNV2 forward time.
+bool bn_is_identity(const Model &m, const Node &n) {
+  const Stored *sg = find_stored(m, n.name + "#gamma");
+  const Stored *sb = find_stored(m, n.name + "#beta");
+  const Stored *sm = find_stored(m, n.name + "#mean");
+  const Stored *sv = find_stored(m, n.name + "#var");
+  if (!sg || !sb || !sm || !sv) return false;
+  const int C = sg->dims[0];
+  const float *g = stored_f32(m, *sg), *b = stored_f32(m, *sb),
+              *mu = stored_f32(m, *sm), *v = stored_f32(m, *sv);
+  for (int c = 0; c < C; ++c)
+    if (g[c] != 1.0f || b[c] != 0.0f || mu[c] != 0.0f || v[c] != 1.0f)
+      return false;
+  return true;
 }
 
 Tensor run_node(Model &m, const Node &n, std::vector<Tensor> &ins) {
@@ -503,21 +651,24 @@ Tensor run_node(Model &m, const Node &n, std::vector<Tensor> &ins) {
     g_last_error = "f32 linear not packed";
     return ins[0];
   }
-  if (op == "bn") return bn_f32(m, n, ins[0]);
+  if (op == "bn") {
+    if (bn_is_identity(m, n)) return std::move(ins[0]);
+    return bn_f32(m, n, ins[0]);
+  }
   if (op == "relu") {
-    Tensor out = ins[0];
+    Tensor out = std::move(ins[0]);  // forward loop gave us our own copy
     for (auto &v : out.data) v = std::max(v, 0.0f);
     return out;
   }
   if (op == "relu6") {
-    Tensor out = ins[0];
+    Tensor out = std::move(ins[0]);
     for (auto &v : out.data) v = std::min(std::max(v, 0.0f), 6.0f);
     return out;
   }
   if (op == "add") {
     maybe_site_quant(n, 0, ins[0], m.bits_act);
     maybe_site_quant(n, 1, ins[1], m.bits_act);
-    Tensor out = ins[0];
+    Tensor out = std::move(ins[0]);
     for (size_t i = 0; i < out.data.size(); ++i) out.data[i] += ins[1].data[i];
     return out;
   }
@@ -690,9 +841,29 @@ int dfqrt_forward(void *handle, const float *input, const int *dims, int ndim) {
         g_last_error = "missing input tensor " + in + " for node " + n.name;
         return 1;
       }
-      ins.push_back(it->second);  // copy: ops may mutate via site quant
+      // ops may mutate their inputs (site quant, in-place relu/add), so
+      // a consumer needs its own tensor — but when this node is the
+      // LAST consumer the tensor can be moved instead of deep-copied
+      // (the copies were ~30% of MNV2 forward time, NATIVE_r05.json)
+      if (remaining[in] == 1)
+        ins.push_back(std::move(it->second));
+      else
+        ins.push_back(it->second);
     }
-    env[n.name] = run_node(m, n, ins);
+    static const bool profile = std::getenv("DFQRT_PROFILE") != nullptr;
+    if (profile) {
+      const auto t0 = std::chrono::steady_clock::now();
+      env[n.name] = run_node(m, n, ins);
+      const auto t1 = std::chrono::steady_clock::now();
+      std::fprintf(
+          stderr, "DFQRT_PROFILE %s %s %.3f ms\n", n.op.c_str(),
+          n.name.c_str(),
+          std::chrono::duration_cast<std::chrono::duration<double>>(t1 - t0)
+                  .count() *
+              1e3);
+    } else {
+      env[n.name] = run_node(m, n, ins);
+    }
     for (const auto &in : n.inputs) {
       if (--remaining[in] == 0) env.erase(in);
     }

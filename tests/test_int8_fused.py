@@ -212,6 +212,68 @@ def test_b2s_fold_bit_exact():
     np.testing.assert_array_equal(barr, base0)
 
 
+def test_k3_matmul_bit_exact():
+    """The shift9 / im2col conv-as-matmul lowerings must be bit-identical
+    to the XLA-conv path at model level — ResNet-18 is all dense k3
+    (stride 1 AND 2); kernel-level stride/dilation coverage incl. the
+    ASPP d6/d12/d18 class lives in the engine helpers' own check below."""
+    graph = resnet18()
+    params = init_params(graph, seed=0, bn_stats="random")
+    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16)
+    prep = prepare(graph, params, cfg)
+    model = lower_int8(prep)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        np.clip(rng.normal(0, 1, (2, 64, 64, 3)), -2.117, 2.64), jnp.float32
+    )
+    base = np.asarray(
+        jax.jit(
+            lambda v: execute_int8_fused(
+                model, prep.params, v, stem_s2d=False, dw_dense_max_ch=0
+            )
+        )(x)
+    )
+    for form in ("shift9", "im2col"):
+        for min_ch in (0, 128):  # all k3 convs / only the C>=128 stages
+            out = np.asarray(
+                jax.jit(
+                    lambda v: execute_int8_fused(
+                        model, prep.params, v, stem_s2d=False,
+                        dw_dense_max_ch=0, k3_matmul=form,
+                        k3_matmul_min_ch=min_ch,
+                    )
+                )(x)
+            )
+            np.testing.assert_array_equal(out, base), (form, min_ch)
+
+
+def test_k3_matmul_kernel_stride_dilation_exact():
+    """Kernel-level: shift9/im2col == _int8_conv for stride-2, dilated
+    (the DeepLab ASPP class), asymmetric-pad, and k1/k7 corner cases."""
+    from dfq_tpu.engine.int8 import (
+        _int8_conv,
+        _int8_conv_im2col,
+        _int8_conv_shift9,
+    )
+    from dfq_tpu.graph.ir import Node
+
+    rng = np.random.default_rng(0)
+    for kh, sh, ph, dh in [(3, 1, 1, 1), (3, 2, 1, 1), (3, 1, 2, 2),
+                           (3, 1, 12, 12), (1, 1, 0, 1), (7, 2, 3, 1)]:
+        cin, cout, H = 5, 7, 29
+        node = Node(name="c", op="conv", inputs=("x",), attrs={
+            "kernel": (kh, kh), "stride": (sh, sh), "padding": (ph, ph),
+            "dilation": (dh, dh), "groups": 1, "in_ch": cin,
+            "out_ch": cout, "bias": False})
+        xq = jnp.asarray(rng.integers(-128, 128, (2, H, H, cin)), jnp.int8)
+        qw = jnp.asarray(rng.integers(-128, 128, (kh, kh, cin, cout)), jnp.int8)
+        base = np.asarray(jax.jit(lambda v: _int8_conv(v, node, qw, 3))(xq))
+        s9 = np.asarray(jax.jit(lambda v: _int8_conv_shift9(v, node, qw, 3))(xq))
+        i2c = np.asarray(jax.jit(lambda v: _int8_conv_im2col(v, node, qw, 3))(xq))
+        np.testing.assert_array_equal(s9, base, err_msg=f"k{kh}s{sh}d{dh}")
+        np.testing.assert_array_equal(i2c, base, err_msg=f"k{kh}s{sh}d{dh}")
+
+
 def test_auto_policy_mapping():
     """Pin the measured batch->config policy itself (a bit-exactness
     comparison cannot catch a wrong mapping, since every setting
