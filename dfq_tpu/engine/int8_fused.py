@@ -262,6 +262,24 @@ def auto_config(batch_per_device: int) -> Tuple[int, bool]:
     return (32 if batch_per_device <= 8 else 0, batch_per_device >= 64)
 
 
+def _chpad_target(cin: int, kernel, groups: int) -> int:
+    """Channel-pad target for dense k3 convs with lane-misaligned Cin,
+    or 0. Measured (scripts/ab_chpad.py, CHPAD_r05.json): XLA's spatial
+    k3-conv configs cap near ~80-110 TOPS when Cin is not a multiple of
+    128 but run at the ~250-340 TOPS matmul-class rate when it is —
+    zero-weight padding to the next 128 multiple is bit-exact (zero
+    weight rows contribute nothing) and won 3.24x on DeepLab's
+    decoder dominator (Cin=304) and 1.55x on ASPP d12 (Cin=320). The
+    1.35 ratio gate keeps the padded-MAC overhead below the measured
+    break-even (Cin=64 -> 128 doubles the MACs and LOSES at stride 1)."""
+    if groups != 1 or tuple(kernel) != (3, 3):
+        return 0
+    if cin <= 128 or cin % 128 == 0:
+        return 0
+    t = ((cin + 127) // 128) * 128
+    return t if t <= cin * 1.35 else 0
+
+
 def _dense_diag_weights(qw: np.ndarray) -> np.ndarray:
     """Depthwise OIHW [C,1,kh,kw] int8 -> dense [C,C,kh,kw] with the taps
     on the diagonal: dw3x3(x, w) == conv3x3(x, W), bit-exact (same int8
@@ -287,6 +305,7 @@ def execute_int8_fused(
     b2s_min_h: int = 0,
     k3_matmul: str = "off",
     k3_matmul_min_ch: int = 0,
+    chpad_k3: bool = True,
     profile_barriers: bool = False,
 ):
     """``use_pallas=True`` routes pointwise convs / linear layers through
@@ -317,6 +336,11 @@ def execute_int8_fused(
     convs with in_ch >= the threshold (the matmul form pays a 9x
     activation re-read, so only compute-bound shapes profit —
     scripts/ab_im2col.py measures which). ``"off"`` disables.
+
+    ``chpad_k3`` (default ON): zero-weight channel padding of dense k3
+    convs whose Cin is lane-misaligned, up to the next multiple of 128
+    when that costs <= 1.35x the MACs — bit-exact, measured 3.24x on
+    the DeepLab decoder dominator (see :func:`_chpad_target`).
 
     ``profile_barriers``: profiling-only mode
     that stops dw convs fusing into neighbors so traces carry true dw
@@ -534,7 +558,41 @@ def execute_int8_fused(
                     node_d = node.replace(attrs={**node.attrs, "groups": 1})
                     acc = _int8_conv(xq, node_d, qw, layer.in_zp)
                 else:
-                    qw = jnp.transpose(jnp.asarray(layer.qweight), (2, 3, 1, 0))
+                    cpad = (
+                        _chpad_target(a["in_ch"], a["kernel"], a["groups"])
+                        if chpad_k3
+                        else 0
+                    )
+                    if cpad:
+                        # bit-exact: padded activation channels (any
+                        # value; zp for cleanliness) meet zero weight
+                        # rows; wsum/bias/scales unchanged
+                        xq = jnp.pad(
+                            xq,
+                            ((0, 0), (0, 0), (0, 0), (0, cpad - a["in_ch"])),
+                            constant_values=np.int8(layer.in_zp),
+                        )
+                        qw_np = np.concatenate(
+                            [
+                                layer.qweight,
+                                np.zeros(
+                                    (
+                                        layer.qweight.shape[0],
+                                        cpad - a["in_ch"],
+                                    )
+                                    + layer.qweight.shape[2:],
+                                    np.int8,
+                                ),
+                            ],
+                            axis=1,
+                        )
+                        node = node.replace(attrs={**a, "in_ch": cpad})
+                        a = node.attrs
+                        qw = jnp.transpose(jnp.asarray(qw_np), (2, 3, 1, 0))
+                    else:
+                        qw = jnp.transpose(
+                            jnp.asarray(layer.qweight), (2, 3, 1, 0)
+                        )
                     if (
                         k3_matmul != "off"
                         and a["kernel"] == (3, 3)

@@ -26,6 +26,10 @@
 #include <omp.h>
 #endif
 
+#ifdef __AVX512VNNI__
+#include <immintrin.h>
+#endif
+
 namespace {
 
 std::string g_last_error;
@@ -66,6 +70,10 @@ struct Model {
   // dense (groups==1) convs also get a tap-major, oc-contiguous copy
   // for the blocked-GEMM fast path: [kh*kw][I][O]
   std::map<std::string, std::vector<int8_t>> conv_w_kio;
+  // AVX512-VNNI tile layout for dense convs: [tap][O/16][C/4][16oc][4c]
+  // (zero-padded in both c and oc) so one vpdpbusd consumes a 64-byte
+  // weight tile against a broadcast 4-channel u8 dword of activation
+  std::map<std::string, std::vector<int8_t>> conv_w_vnni;
   // depthwise convs (groups==in_ch==out_ch): tap-major, channel-
   // contiguous [kh*kw][C] so the per-pixel loop vectorizes over C
   std::map<std::string, std::vector<int8_t>> conv_w_dwk;
@@ -177,7 +185,9 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
   // carries the same +128 shift.
   const int PH = H + 2 * ph, PW = W + 2 * pw;
   const int zp_u = in_zp + 128;
-  std::vector<uint8_t> q(static_cast<size_t>(N) * PH * PW * C,
+  // +4 bytes slack: the VNNI path's 4-byte channel-group loads may read
+  // up to 3 bytes past the final channel (matched by zero weights)
+  std::vector<uint8_t> q(static_cast<size_t>(N) * PH * PW * C + 4,
                          static_cast<uint8_t>(zp_u));
   const float inv_s = 1.0f / in_scale;
 #pragma omp parallel for collapse(2) schedule(static)
@@ -199,14 +209,77 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
   out.dims = {N, OH, OW, out_ch};
   out.data.resize(out.numel());
 
+#ifdef __AVX512VNNI__
+  auto vnni_it = m.conv_w_vnni.find(n.name);
+  if (groups == 1 && vnni_it != m.conv_w_vnni.end()) {
+    // VNNI GEMM: per (row, 8-pixel block, 16-oc tile), one vpdpbusd
+    // consumes 4 input channels x 16 output channels; the 64-byte
+    // weight tile is reused across the 8 pixels from registers/L1.
+    // u8 x s8 is exact with the +128-shifted buffer (see above).
+    constexpr int PX = 8;
+    const int OT = (out_ch + 15) / 16, C4 = (C + 3) / 4;
+    const int8_t *wt_all = vnni_it->second.data();
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int b = 0; b < N; ++b)
+      for (int oy = 0; oy < OH; ++oy) {
+        for (int ox0 = 0; ox0 < OW; ox0 += PX) {
+          const int npx = std::min(PX, OW - ox0);
+          const uint8_t *xbase[PX];
+          for (int px = 0; px < npx; ++px)
+            xbase[px] = q.data() +
+                        ((static_cast<size_t>(b) * PH + oy * sh) * PW +
+                         (ox0 + px) * sw) *
+                            C;
+          for (int ot = 0; ot < OT; ++ot) {
+            __m512i acc[PX];
+            for (int px = 0; px < npx; ++px) acc[px] = _mm512_setzero_si512();
+            for (int ky = 0; ky < kh; ++ky)
+              for (int kx = 0; kx < kw; ++kx) {
+                const size_t xoff =
+                    (static_cast<size_t>(ky) * dh * PW + kx * dw) * C;
+                const int8_t *wblk =
+                    wt_all +
+                    ((static_cast<size_t>(ky) * kw + kx) * OT + ot) * C4 * 64;
+                for (int c4 = 0; c4 < C4; ++c4) {
+                  const __m512i wv = _mm512_loadu_si512(
+                      reinterpret_cast<const void *>(wblk + c4 * 64));
+                  for (int px = 0; px < npx; ++px) {
+                    uint32_t xd;
+                    std::memcpy(&xd, xbase[px] + xoff + c4 * 4, 4);
+                    acc[px] = _mm512_dpbusd_epi32(
+                        acc[px], _mm512_set1_epi32(static_cast<int>(xd)), wv);
+                  }
+                }
+              }
+            const int o0 = ot * 16, on = std::min(16, out_ch - o0);
+            for (int px = 0; px < npx; ++px) {
+              alignas(64) int32_t av[16];
+              _mm512_store_si512(reinterpret_cast<void *>(av), acc[px]);
+              float *dst =
+                  out.data.data() +
+                  ((static_cast<size_t>(b) * OH + oy) * OW + ox0 + px) *
+                      out_ch +
+                  o0;
+              for (int o = 0; o < on; ++o) {
+                float v = static_cast<float>(av[o] - zp_u * wsum[o0 + o]) *
+                          (in_scale * w_scale[o0 + o]);
+                if (bias) v += bias[o0 + o];
+                dst[o] = v;
+              }
+            }
+          }
+        }
+      }
+    return out;
+  }
+#endif
+
   auto kio_it = m.conv_w_kio.find(n.name);
   if (groups == 1 && kio_it != m.conv_w_kio.end()) {
-    // Blocked-GEMM fast path for dense convs (the bulk of the MACs):
-    // PX output pixels x all out_ch accumulated together, inner loop
-    // contiguous over oc so it vectorizes, with each input channel's
-    // oc-row of weights reused across the PX pixels from L1. Measured
-    // (scripts/bench_native.py, NATIVE_r05.json) vs the dot-per-
-    // (pixel,oc) direct loop below, which remains for grouped/dw convs.
+    // Blocked-GEMM fallback for dense convs without VNNI: PX output
+    // pixels x all out_ch accumulated together, inner loop contiguous
+    // over oc so it autovectorizes, with each input channel's oc-row
+    // of weights reused across the PX pixels from L1.
     constexpr int PX = 8;
     const int8_t *wt_all = kio_it->second.data();
 #pragma omp parallel for collapse(2) schedule(static)
@@ -218,7 +291,7 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
           std::fill(acc.begin(), acc.begin() + static_cast<size_t>(npx) * out_ch, 0);
           for (int ky = 0; ky < kh; ++ky) {
             const int iy = oy * sh + ky * dh;
-            const int8_t *xrow =
+            const uint8_t *xrow =
                 q.data() + (static_cast<size_t>(b) * PH + iy) * PW * C;
             for (int kx = 0; kx < kw; ++kx) {
               const int8_t *wt =
@@ -228,7 +301,7 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
                 for (int px = 0; px < npx; ++px) {
                   const int ix = (ox0 + px) * sw + kx * dw;
                   const int32_t xv = xrow[static_cast<size_t>(ix) * C + c];
-                  if (xv == 0) continue;
+                  if (xv == 0) continue;  // u8 0 == relu-sparse zero
                   int32_t *ap = acc.data() + static_cast<size_t>(px) * out_ch;
                   for (int o = 0; o < out_ch; ++o)
                     ap[o] += xv * static_cast<int32_t>(wrow[o]);
@@ -242,7 +315,7 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
                              out_ch;
             const int32_t *ap = acc.data() + static_cast<size_t>(px) * out_ch;
             for (int o = 0; o < out_ch; ++o) {
-              float v = static_cast<float>(ap[o] - in_zp * wsum[o]) *
+              float v = static_cast<float>(ap[o] - zp_u * wsum[o]) *
                         (in_scale * w_scale[o]);
               if (bias) v += bias[o];
               dst[o] = v;
@@ -269,7 +342,7 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
             const int iy = oy * sh + ky * dh;
             for (int kx = 0; kx < kw; ++kx) {
               const int ix = ox * sw + kx * dw;
-              const int8_t *xp =
+              const uint8_t *xp =
                   q.data() + ((static_cast<size_t>(b) * PH + iy) * PW + ix) * C;
               const int8_t *wrow =
                   wt_all + (static_cast<size_t>(ky) * kw + kx) * out_ch;
@@ -281,7 +354,7 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
           float *dst = out.data.data() +
                        ((static_cast<size_t>(b) * OH + oy) * OW + ox) * out_ch;
           for (int c = 0; c < out_ch; ++c) {
-            float v = static_cast<float>(acc[c] - in_zp * wsum[c]) *
+            float v = static_cast<float>(acc[c] - zp_u * wsum[c]) *
                       (in_scale * w_scale[c]);
             if (bias) v += bias[c];
             dst[c] = v;
@@ -307,7 +380,7 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
               const int iy = oy * sh + ky * dh;
               for (int kx = 0; kx < kw; ++kx) {
                 const int ix = ox * sw + kx * dw;
-                const int8_t *xp =
+                const uint8_t *xp =
                     q.data() +
                     ((static_cast<size_t>(b) * PH + iy) * PW + ix) * C + g * ig;
                 const int8_t *wrow = wp + (ky * kw + kx) * ig;
@@ -317,7 +390,7 @@ Tensor conv_int8(const Model &m, const Node &n, const Tensor &x) {
                 acc += s;
               }
             }
-            acc -= in_zp * wsum[oc];
+            acc -= zp_u * wsum[oc];
             float v = static_cast<float>(acc) * (in_scale * w_scale[oc]);
             if (bias) v += bias[oc];
             dst[oc] = v;
@@ -607,6 +680,22 @@ void prepack_conv_weights(Model &m) {
               kio[(((static_cast<size_t>(ky) * KW + kx) * Ig + c) * O) + o] =
                   qw[((static_cast<size_t>(o) * Ig + c) * KH + ky) * KW + kx];
       m.conv_w_kio[n.name] = std::move(kio);
+#ifdef __AVX512VNNI__
+      const int OT = (O + 15) / 16, C4 = (Ig + 3) / 4;
+      std::vector<int8_t> vw(static_cast<size_t>(KH) * KW * OT * C4 * 64, 0);
+      for (int ky = 0; ky < KH; ++ky)
+        for (int kx = 0; kx < KW; ++kx)
+          for (int o = 0; o < O; ++o)
+            for (int c = 0; c < Ig; ++c)
+              vw[((((static_cast<size_t>(ky) * KW + kx) * OT + o / 16) * C4 +
+                   c / 4) *
+                      16 +
+                  o % 16) *
+                     4 +
+                 c % 4] =
+                  qw[((static_cast<size_t>(o) * Ig + c) * KH + ky) * KW + kx];
+      m.conv_w_vnni[n.name] = std::move(vw);
+#endif
     }
     const int groups = attr_int(n, "groups", 1);
     if (groups > 1 && Ig == 1 && groups == O) {

@@ -69,8 +69,32 @@ def main():
         print(f"# decode_nms thr={thr}: {t * 1e3:.3f} ms/image",
               file=sys.stderr)
 
-    # fused forward + decode + nms in ONE program, batch 1 and 8
-    for b in (1, 8):
+    # forward-only vs forward+decode+nms as ONE program, b=1..128
+    # (r5: the r4 verdict asked whether the vmapped NMS tail amortizes
+    # at large batch — measure the full sweep, not just b=1/8)
+    for b in (1, 8, 32, 128):
+        x = jax.jit(
+            lambda b=b: jax.random.uniform(
+                jax.random.PRNGKey(2), (b, 300, 300, 3), jnp.float32,
+                minval=-1.0, maxval=1.0,
+            )
+        )()
+
+        def fwd_only(v):
+            conf_b, loc_b = execute_int8_fused(model, prep.params, v)
+            return jnp.sum(conf_b) + jnp.sum(loc_b)
+
+        n_small, n_big = bench.loop_counts(b)
+        t = bench.step_time(fwd_only, x, n_small=n_small, n_big=n_big,
+                            tag=f"fwd_only b{b}")
+        out[f"forward_only_b{b}"] = {
+            "ms": round(t * 1e3, 3),
+            "img_per_s": round(b / t, 1),
+        }
+        print(f"# fwd only b={b}: {t * 1e3:.3f} ms, {b / t:.0f} img/s",
+              file=sys.stderr)
+
+    for b in (1, 8, 32, 128):
         x = jax.jit(
             lambda b=b: jax.random.uniform(
                 jax.random.PRNGKey(2), (b, 300, 300, 3), jnp.float32,

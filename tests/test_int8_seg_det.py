@@ -98,6 +98,37 @@ def test_deeplab_int8_engines_match_sim(deeplab_int8):
     assert agree_sim >= 0.8, agree_sim
 
 
+def test_deeplab_chpad_bit_exact(deeplab_int8):
+    """Zero-weight channel padding of lane-misaligned dense k3 convs
+    (decoder Cin=304, ASPP Cin=320 — the CHPAD_r05.json 3.24x win) must
+    be bit-identical to the unpadded path."""
+    from dfq_tpu.engine.int8_fused import _chpad_target
+
+    prep, model = deeplab_int8
+    # the gate must actually fire on this graph (decoder 304 -> 384)
+    hits = [
+        n.name for n in prep.graph
+        if n.op == "conv"
+        and _chpad_target(n.attrs["in_ch"], n.attrs["kernel"], n.attrs["groups"])
+    ]
+    assert any("last_conv.0" in h for h in hits), hits
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        np.clip(rng.normal(0, 1, (1, 129, 129, 3)), -2.117, 2.64), jnp.float32
+    )
+    off = np.asarray(
+        jax.jit(
+            lambda v: execute_int8_fused(model, prep.params, v, chpad_k3=False)
+        )(x)
+    )
+    on = np.asarray(
+        jax.jit(
+            lambda v: execute_int8_fused(model, prep.params, v, chpad_k3=True)
+        )(x)
+    )
+    np.testing.assert_array_equal(on, off)
+
+
 def test_ssd_lowers_heads(ssd_int8):
     prep, model = ssd_int8
     # the conv-without-BN regression/classification heads ALL carry
