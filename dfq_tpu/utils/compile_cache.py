@@ -20,6 +20,10 @@ def enable_compile_cache(path: str | None = None) -> str:
     ``dfq_tpu`` package), overridable via ``DFQ_TPU_COMPILE_CACHE``."""
     import jax
 
+    if os.environ.get("DFQ_TPU_DISABLE_COMPILE_CACHE"):
+        # A/B harnesses that vary XLA_FLAGS set this: a cached
+        # executable compiled under other flags would mask the effect
+        return ""
     if path is None:
         path = os.environ.get("DFQ_TPU_COMPILE_CACHE") or os.path.join(
             os.path.dirname(
