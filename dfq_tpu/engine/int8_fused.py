@@ -272,7 +272,14 @@ def _chpad_target(cin: int, kernel, groups: int) -> int:
     decoder dominator (Cin=304) and 1.55x on ASPP d12 (Cin=320). The
     1.35 ratio gate keeps the padded-MAC overhead below the measured
     break-even (Cin=64 -> 128 doubles the MACs and LOSES at stride 1)."""
-    if groups != 1 or tuple(kernel) != (3, 3):
+    if groups != 1:
+        return 0
+    if cin < 4:
+        # image stems (Cin=3): dword alignment alone is a measured
+        # 1.22x on the r18 k7s2 stem kernel (0.538 -> 0.442 ms,
+        # STEM_r05.json); applies to any kernel size
+        return 4
+    if tuple(kernel) != (3, 3):
         return 0
     if cin <= 128 or cin % 128 == 0:
         return 0

@@ -247,6 +247,41 @@ def test_k3_matmul_bit_exact():
             np.testing.assert_array_equal(out, base), (form, min_ch)
 
 
+def test_stem_chpad4_bit_exact():
+    """Cin=3 -> 4 stem padding (1.22x on the r18 k7 stem kernel) must be
+    bit-exact at model level, with the s2d stem path off AND on (s2d
+    intercepts the MNV2 k3 stem before chpad can)."""
+    for builder in (resnet18, mobilenet_v2):
+        graph = builder()
+        params = init_params(graph, seed=0, bn_stats="random")
+        cfg = QuantConfig(quantize=True, relu=True, bits_bias=16)
+        prep = prepare(graph, params, cfg)
+        model = lower_int8(prep)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(
+            np.clip(rng.normal(0, 1, (2, 64, 64, 3)), -2.117, 2.64),
+            jnp.float32,
+        )
+        for stem in (False, True):
+            off = np.asarray(
+                jax.jit(
+                    lambda v: execute_int8_fused(
+                        model, prep.params, v, stem_s2d=stem,
+                        dw_dense_max_ch=0, chpad_k3=False,
+                    )
+                )(x)
+            )
+            on = np.asarray(
+                jax.jit(
+                    lambda v: execute_int8_fused(
+                        model, prep.params, v, stem_s2d=stem,
+                        dw_dense_max_ch=0, chpad_k3=True,
+                    )
+                )(x)
+            )
+            np.testing.assert_array_equal(on, off, err_msg=str((builder, stem)))
+
+
 def test_k3_matmul_kernel_stride_dilation_exact():
     """Kernel-level: shift9/im2col == _int8_conv for stride-2, dilated
     (the DeepLab ASPP class), asymmetric-pad, and k1/k7 corner cases."""
