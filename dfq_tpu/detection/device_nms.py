@@ -65,31 +65,33 @@ def _class_nms(scores, boxes, prob_threshold, iou_threshold,
     iou = _iou_matrix(cand_boxes)
     valid0 = cand_scores > prob_threshold
 
-    def body(i, state):
-        alive, kept = state
-        take = alive[i] & valid0[i]
-        kept = kept.at[i].set(take)
-        # suppress every later candidate overlapping the taken one
-        suppress = take & (iou[i] > iou_threshold)
+    # Greedy sweep as a PICK loop: each iteration takes the first alive
+    # candidate (candidates are score-sorted, so "first alive" IS the
+    # greedy pick) and suppresses its overlaps — identical keep-set to
+    # sweeping all candidate_size positions, but only min(top_k, K)
+    # sequential steps instead of K. r5: the K-step sweep made device
+    # NMS 2/3 of e2e detection time at b=128 (SERVING_r05.json A/B:
+    # 200 -> 10 steps cut e2e 32.5 -> ~13 ms).
+    n_pick = min(top_k, candidate_size)
+
+    def body(t, state):
+        alive, idxs, valid = state
+        first = jnp.argmax(alive)  # first True; 0 if none alive
+        take = alive[first]
+        idxs = idxs.at[t].set(first)
+        valid = valid.at[t].set(take)
+        suppress = take & (iou[first] > iou_threshold)
         alive = alive & ~suppress
-        return alive, kept
+        return alive, idxs, valid
 
-    alive0 = jnp.ones((candidate_size,), bool)
-    kept0 = jnp.zeros((candidate_size,), bool)
-    _, kept = lax.fori_loop(0, candidate_size, body, (alive0, kept0))
-
-    # keep at most top_k, in score order (candidates already sorted)
-    rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
-    kept_k = kept & (rank < top_k)
-    # scatter the kept candidates into dense [top_k] slots
-    slot = jnp.where(kept_k, rank, top_k)
-    out_boxes = jnp.zeros((top_k + 1, 4), cand_boxes.dtype).at[slot].set(
-        cand_boxes
-    )[:top_k]
-    out_scores = jnp.zeros((top_k + 1,), cand_scores.dtype).at[slot].set(
-        cand_scores
-    )[:top_k]
-    valid = jnp.zeros((top_k + 1,), bool).at[slot].set(kept_k)[:top_k]
+    _, idxs, valid = lax.fori_loop(
+        0, n_pick, body,
+        (valid0,
+         jnp.zeros((top_k,), jnp.int32),
+         jnp.zeros((top_k,), bool)),
+    )
+    out_boxes = jnp.where(valid[:, None], cand_boxes[idxs], 0.0)
+    out_scores = jnp.where(valid, cand_scores[idxs], 0.0)
     return out_boxes, out_scores, valid
 
 
