@@ -75,7 +75,7 @@ def tunnel_warmup():
     print(f"# tunnel warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
 
-def _compile_loop(fwd, x, n, tag=""):
+def _compile_loop(fwd, x, n, tag="", compiler_options=None):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -96,13 +96,14 @@ def _compile_loop(fwd, x, n, tag=""):
         return acc
 
     t0 = time.time()
-    compiled = jax.jit(run).lower(x).compile()
+    compiled = jax.jit(run).lower(x).compile(compiler_options=compiler_options or None)
     print(f"# compile {tag} loop n={n}: {time.time() - t0:.1f}s", file=sys.stderr)
     jax.device_get(compiled(x))  # first-execute + scalar-fetch warmup
     return compiled
 
 
-def step_time(fwd, x, n_small=2, n_big=12, tag="", rounds=3):
+def step_time(fwd, x, n_small=2, n_big=12, tag="", rounds=3,
+              compiler_options=None):
     """Per-step time = slope between a short and a long on-device loop.
 
     Tunnel variance note: a single (t_small, t_big) pair is fragile — a
@@ -116,15 +117,17 @@ def step_time(fwd, x, n_small=2, n_big=12, tag="", rounds=3):
     # honest full-model compile time: AOT lowering+compile, no execution
     # or tunnel transfer attached
     t0 = time.time()
-    compiled = jax.jit(fwd).lower(x).compile()
+    compiled = jax.jit(fwd).lower(x).compile(compiler_options=compiler_options or None)
     print(f"# compile {tag} forward: {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     jax.device_get(compiled(x))
     print(
         f"# first execute+fetch {tag}: {time.time() - t0:.1f}s", file=sys.stderr
     )
-    c_small = _compile_loop(fwd, x, n_small, tag=tag)
-    c_big = _compile_loop(fwd, x, n_big, tag=tag)
+    c_small = _compile_loop(fwd, x, n_small, tag=tag,
+                            compiler_options=compiler_options)
+    c_big = _compile_loop(fwd, x, n_big, tag=tag,
+                          compiler_options=compiler_options)
 
     slopes = []
     for _ in range(rounds):
