@@ -556,6 +556,13 @@ def execute_int8_fused(
                     a["groups"] > 1
                     and a["groups"] == a["in_ch"] == layer.qweight.shape[0]
                     and a["in_ch"] <= dw_dense_max_ch
+                    # spatial gate (r5): the grouped-dw config collapse
+                    # the rewrite cures is a SMALL-spatial phenomenon
+                    # (112^2 at b<=8: 4.5x win); at segmentation sizes
+                    # XLA's grouped dw is fine and the 9C-x-MAC
+                    # overhead costs — DeepLab@513 b8 measured 8.5%
+                    # FASTER with dense-dw off (DEEPLAB_POLICY_r05.json)
+                    and xq.shape[1] <= 128
                 ):
                     # dw-on-MXU: dense-diagonal rewrite (bit-exact)
                     qw = jnp.transpose(
