@@ -309,6 +309,7 @@ def execute_int8_fused(
     fuse_blocks: bool = False,
     dw_dense_max_ch="auto",
     per_device_batch: int | None = None,
+    dw_dense_max_h="auto",
     b2s_min_h: int = 0,
     k3_matmul: str = "off",
     k3_matmul_min_ch: int = 0,
@@ -364,6 +365,13 @@ def execute_int8_fused(
             dw_dense_max_ch = auto_dw
         if stem_s2d == "auto":
             stem_s2d = auto_stem
+    if dw_dense_max_h == "auto":
+        # spatial cap for the dense-dw rewrite: the grouped-dw config
+        # collapse extends to 150^2 at batch 1 (SSD b1: dense 8.8%
+        # faster) but not at batch >= 8 (SSD b8: grouped 7.9% faster;
+        # DeepLab 257^2 b8: grouped 8.5% faster) — SSD_POLICY_r05.json
+        # / DEEPLAB_POLICY_r05.json
+        dw_dense_max_h = 160 if (per_device_batch or x.shape[0]) <= 1 else 128
     if model.bits_act != 8:
         # the fused epilogues clamp on the 8-bit grid; narrow-activation
         # regimes (A4/A6) run through the baseline engine, which threads
@@ -561,8 +569,11 @@ def execute_int8_fused(
                     # (112^2 at b<=8: 4.5x win); at segmentation sizes
                     # XLA's grouped dw is fine and the 9C-x-MAC
                     # overhead costs — DeepLab@513 b8 measured 8.5%
-                    # FASTER with dense-dw off (DEEPLAB_POLICY_r05.json)
-                    and xq.shape[1] <= 128
+                    # FASTER with dense-dw off (DEEPLAB_POLICY_r05.json).
+                    # SSD@300 b8 (150^2 dw, just past the gate):
+                    # measured neutral-to-positive to keep gated off
+                    # (SSD_POLICY_r05.json)
+                    and xq.shape[1] <= dw_dense_max_h
                 ):
                     # dw-on-MXU: dense-diagonal rewrite (bit-exact)
                     qw = jnp.transpose(

@@ -60,9 +60,11 @@ def make_sharded_forward(
             # resolve the batch-dependent engine policy with the
             # PER-DEVICE batch: x here is the global array but GSPMD
             # configures every conv at global/n_data rows
-            dw, stem = auto_config(max(x.shape[0] // n_data, 1))
+            pdb = max(x.shape[0] // n_data, 1)
+            dw, stem = auto_config(pdb)
             return execute_int8_fused(
-                int8_model, p, x, dw_dense_max_ch=dw, stem_s2d=stem
+                int8_model, p, x, dw_dense_max_ch=dw, stem_s2d=stem,
+                per_device_batch=pdb,
             )
 
     elif engine == "sim":
