@@ -81,7 +81,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--model", type=str, default="mnv2",
-                    choices=["mnv2", "r18", "deeplab", "ssd"])
+                    choices=["mnv2", "r18", "deeplab", "ssd", "mb1ssd",
+                             "mb1ssd_lite", "vgg16ssd"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dw-dense", type=int, default=0)
     ap.add_argument("--barriers", action="store_true",
@@ -107,7 +108,19 @@ def main():
 
     size = 224
     det = False
-    if args.model == "r18":
+    calib_route = False
+    if args.model in ("mb1ssd", "mb1ssd_lite", "vgg16ssd"):
+        # BN-less conv stacks: BN-derived ranges are structurally
+        # impossible (see scripts/bench_ssd_variants.py) — calibrated
+        # route below
+        import dfq_tpu.models as M
+
+        builder = {"mb1ssd": "mobilenet_v1_ssd",
+                   "mb1ssd_lite": "mobilenet_v1_ssd_lite",
+                   "vgg16ssd": "vgg16_ssd"}[args.model]
+        graph, size, det = getattr(M, builder)(num_classes=21), 300, True
+        calib_route = True
+    elif args.model == "r18":
         from dfq_tpu.models import resnet18
 
         graph = resnet18()
@@ -118,9 +131,21 @@ def main():
     else:
         graph = mobilenet_v2()
     params = init_params(graph, seed=0, bn_stats="random")
-    cfg = QuantConfig(quantize=True, relu=True, equalize=True, bits_bias=16,
-                      is_detection=det)
-    prep = prepare(graph, params, cfg)
+    if calib_route:
+        from dfq_tpu.calib import DistillConfig, calibrate_ranges
+        from dfq_tpu.calib.distill import init_random_batch
+
+        prep = prepare(graph, params, QuantConfig(
+            quantize=True, relu=True, bits_bias=16,
+            is_detection=True, distill_range=True))
+        dc = DistillConfig(batch_size=4, image_size=(size, size), num_batch=1)
+        prep.act_ranges = calibrate_ranges(
+            prep.graph, prep.params,
+            [init_random_batch(np.random.default_rng(0), dc)])
+    else:
+        cfg = QuantConfig(quantize=True, relu=True, equalize=True,
+                          bits_bias=16, is_detection=det)
+        prep = prepare(graph, params, cfg)
     model = lower_int8(prep)
     batch = args.batch
     x = jax.jit(
