@@ -35,6 +35,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--only", type=str, default=None)
+    ap.add_argument("--autotune", action="store_true",
+                    help="race dw policies per model (engine/autotune.py) "
+                         "and report the winner's throughput — the "
+                         "serve-time flow; without it, the static auto "
+                         "policy")
     args = ap.parse_args()
     bench.enable_compile_cache()
     bench.tunnel_warmup()
@@ -79,8 +84,21 @@ def main():
                 )
             )()
 
+            policy = {}
+            tuned = None
+            if args.autotune:
+                from dfq_tpu.engine.autotune import autotune_dw_policy
+
+                policy, rep = autotune_dw_policy(
+                    model, prep.params, x,
+                    cache_path=".autotune_cache.json")
+                tuned = rep["label"]
+                print(f"# {name}: autotuned policy = {tuned}",
+                      file=sys.stderr)
+
             def fwd(v):
-                conf, loc = execute_int8_fused(model, prep.params, v)
+                conf, loc = execute_int8_fused(model, prep.params, v,
+                                               **policy)
                 return jnp.stack(
                     [jnp.sum(conf.astype(jnp.float32)), jnp.sum(loc)]
                 )
@@ -91,6 +109,8 @@ def main():
             results[name] = {"ms_per_step": round(t * 1e3, 3),
                              "img_per_s": round(b / t, 1),
                              "range_route": route}
+            if tuned is not None:
+                results[name]["dw_policy"] = tuned
             print(f"# {name}: {t*1e3:.3f} ms = {b/t:.0f} img/s",
                   file=sys.stderr)
         except Exception as e:

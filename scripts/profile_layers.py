@@ -82,7 +82,8 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--model", type=str, default="mnv2",
                     choices=["mnv2", "r18", "deeplab", "ssd", "mb1ssd",
-                             "mb1ssd_lite", "vgg16ssd"])
+                             "mb1ssd_lite", "vgg16ssd", "deeplab_xception",
+                             "deeplab_drn", "deeplab_r101"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dw-dense", type=int, default=0)
     ap.add_argument("--barriers", action="store_true",
@@ -120,6 +121,13 @@ def main():
                    "vgg16ssd": "vgg16_ssd"}[args.model]
         graph, size, det = getattr(M, builder)(num_classes=21), 300, True
         calib_route = True
+    elif args.model in ("deeplab_xception", "deeplab_drn", "deeplab_r101"):
+        import dfq_tpu.models as M
+
+        builder = {"deeplab_xception": "deeplab_xception",
+                   "deeplab_drn": "deeplab_drn",
+                   "deeplab_r101": "deeplab_resnet101"}[args.model]
+        graph, size = getattr(M, builder)(input_size=513), 513
     elif args.model == "r18":
         from dfq_tpu.models import resnet18
 
