@@ -311,7 +311,7 @@ def execute_int8_fused(
     per_device_batch: int | None = None,
     dw_dense_max_h="auto",
     b2s_min_h: int = 0,
-    k3_matmul: str = "off",
+    k3_matmul: str = "auto",
     k3_matmul_min_ch: int = 0,
     chpad_k3: bool = True,
     profile_barriers: bool = False,
@@ -343,7 +343,12 @@ def execute_int8_fused(
     tests/test_int8_fused.py). ``k3_matmul_min_ch`` applies it only to
     convs with in_ch >= the threshold (the matmul form pays a 9x
     activation re-read, so only compute-bound shapes profit —
-    scripts/ab_im2col.py measures which). ``"off"`` disables.
+    scripts/ab_im2col.py measures which). The default ``"auto"`` applies
+    shift9 to DILATED dense k3 with in_ch >= 256 only: XLA's dilated
+    spatial-conv configs cap at 43-46 TOPS and shift9 wins 10-12%
+    whole-model on DeepLab-Xception/DRN/R101 (``K3_DILATED_r05.json``),
+    while non-dilated k3 after channel padding is a measured loss
+    (``IM2COL_r05.json``). ``"off"`` disables.
 
     ``chpad_k3`` (default ON): zero-weight channel padding of dense k3
     convs whose Cin is lane-misaligned, up to the next multiple of 128
@@ -618,13 +623,22 @@ def execute_int8_fused(
                         qw = jnp.transpose(
                             jnp.asarray(layer.qweight), (2, 3, 1, 0)
                         )
-                    if (
-                        k3_matmul != "off"
-                        and a["kernel"] == (3, 3)
-                        and a["groups"] == 1
-                        and a["in_ch"] >= k3_matmul_min_ch
+                    _dil = tuple(a.get("dilation", (1, 1)))
+                    if a["kernel"] == (3, 3) and a["groups"] == 1 and (
+                        (k3_matmul in ("shift9", "im2col")
+                         and a["in_ch"] >= k3_matmul_min_ch)
+                        or (k3_matmul == "auto" and _dil != (1, 1)
+                            and a["in_ch"] >= 256)
                     ):
-                        # dense k3 conv as matmul-shaped work (bit-exact)
+                        # dense k3 conv as matmul-shaped work (bit-exact).
+                        # "auto": shift9 for DILATED convs only — XLA's
+                        # spatial configs for dilated k3 cap at 43-46
+                        # TOPS (PROF_XC_r05) and shift9 wins 10-12%
+                        # whole-model on all three dilated backbones
+                        # (K3_DILATED_r05.json: Xception 187->205, DRN
+                        # 199->222, R101 326->366 img/s @513 b4), while
+                        # the non-dilated 129^2 decoder conv was a
+                        # measured LOSS post-chpad (IM2COL_r05.json)
                         k3_fn = (
                             _int8_conv_im2col
                             if k3_matmul == "im2col"

@@ -51,9 +51,12 @@ def main():
                 jax.random.PRNGKey(0), (b, 513, 513, 3), jnp.float32
             )
         )()
+        # n=10/60: steps are 3-22 ms, so the 50-iteration delta carries
+        # >= 150 ms of slope signal — n=1/5 (the r05 first sweep) left
+        # the slope inside the tunnel's ~50 ms RTT jitter
         t = bench.step_time(
             lambda v: execute_int8_fused(model, prep.params, v),
-            x, n_small=1, n_big=5, tag=name,
+            x, n_small=10, n_big=60, tag=name,
         )
         results[name] = {"ms_per_step": round(t * 1e3, 2),
                          "img_per_s": round(b / t, 1)}
